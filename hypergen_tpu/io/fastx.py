@@ -1,0 +1,134 @@
+"""FASTA reading and base-code conversion (host side).
+
+Semantics match the reference CPU path: needletail's FASTA parser +
+Sequence::normalize(false) + canonical_kmers validity rules
+(reference:src/sketch.rs:76-95):
+
+  - sequence lines of a record are concatenated (whitespace stripped);
+  - a/c/g/t are uppercased; t/u/U -> T; everything that is not ACGT after
+    normalization (N, gaps, IUPAC codes, junk) cannot appear in a k-mer;
+  - k-mers never span record boundaries.
+
+For the device we collapse normalization straight to 2-bit codes:
+A->0 C->1 G->2 T->3, anything else -> 4 (INVALID). Records are joined with a
+single INVALID separator code so one flat array per genome preserves the
+no-spanning rule (same trick as the reference GPU reader, which joins
+records with 'N' bytes — reference:src/fastx_reader.rs:6-29).
+
+Gzip input is transparently supported (needletail does the same via niffler).
+
+A C++ fast path (native/fastx.cpp, loaded via ctypes) accelerates the
+parse+normalize step; the numpy implementation below is the always-available
+fallback and the behavioral spec.
+"""
+
+from __future__ import annotations
+
+import gzip
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+INVALID = np.uint8(4)
+
+# raw input byte -> 2-bit base code (normalization collapsed in)
+_CODE_TABLE = np.full(256, INVALID, dtype=np.uint8)
+for chars, code in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"TtUu", 3)):
+    for c in chars:
+        _CODE_TABLE[c] = code
+
+
+def seq_to_codes(seq: bytes) -> np.ndarray:
+    """Normalized 2-bit codes (0..3, INVALID=4) for one record's sequence."""
+    arr = np.frombuffer(bytes(seq), dtype=np.uint8)
+    return _CODE_TABLE[arr]
+
+
+def _open_maybe_gz(path: Path):
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_fasta_records(path) -> List[Tuple[bytes, bytes]]:
+    """Parse a (possibly gzipped) FASTA file into [(header, seq_bytes)].
+
+    Whitespace inside sequence lines is kept out by line stripping; blank
+    lines are ignored. Raises ValueError on files with no '>' header.
+    """
+    path = Path(path)
+    records: List[Tuple[bytes, bytes]] = []
+    header = None
+    chunks: List[bytes] = []
+    with _open_maybe_gz(path) as f:
+        for raw in f:
+            line = raw.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if header is not None:
+                    records.append((header, b"".join(chunks)))
+                header = line[1:]
+                chunks = []
+            elif line:
+                if header is None:
+                    raise ValueError(f"{path}: sequence data before FASTA header")
+                chunks.append(line)
+        if header is not None:
+            records.append((header, b"".join(chunks)))
+    if not records:
+        raise ValueError(f"{path}: no FASTA records found")
+    return records
+
+
+def codes_from_records(records: List[Tuple[bytes, bytes]]) -> np.ndarray:
+    """Join record code arrays with one INVALID separator (no k-mer spans)."""
+    parts: List[np.ndarray] = []
+    sep = np.array([INVALID], dtype=np.uint8)
+    for i, (_, seq) in enumerate(records):
+        if i > 0:
+            parts.append(sep)
+        parts.append(seq_to_codes(seq))
+    if not parts:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(parts)
+
+
+def read_genome_codes(path) -> np.ndarray:
+    """One flat code array for a genome FASTA file (C++ fast path if built)."""
+    native = _native_reader()
+    if native is not None:
+        try:
+            return native(path)
+        except Exception:
+            pass  # fall back to the numpy path on any native failure
+    return codes_from_records(read_fasta_records(path))
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_reader():
+    """Lazy-load the optional C++ parser (native/libfastx.so)."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from hypergen_tpu.io import fastx_native
+
+            _NATIVE = fastx_native.read_genome_codes
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+def get_fasta_files(path) -> List[Path]:
+    """Non-recursive *.fna, *.fa, *.fasta glob in extension order
+    (reference:src/utils.rs:208-221); gzipped variants also accepted."""
+    path = Path(path)
+    files: List[Path] = []
+    for pat in ("*.fna", "*.fa", "*.fasta", "*.fna.gz", "*.fa.gz", "*.fasta.gz"):
+        files.extend(sorted(path.glob(pat)))
+    return files

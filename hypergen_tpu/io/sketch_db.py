@@ -1,0 +1,225 @@
+"""Sketch database serialization.
+
+Two formats:
+
+1. **Reference-compatible `.sketch`** — byte-identical to the reference's
+   bincode serialization of `Vec<FileSketch>` (reference:src/utils.rs:234-258,
+   struct layout reference:src/types.rs:224-235). bincode 1.x legacy config:
+   little-endian, fixed-width ints, u64 length prefixes, bool as one byte,
+   usize as u64. This keeps sketches interoperable with the reference CLI in
+   both directions.
+
+2. **Sharded DB + manifest** (`.hgdb/` directory) — the TPU-native layout for
+   multi-host search: HVs stored as one dense int16 matrix per shard
+   (row-major, mmap-friendly) with norms and metadata in a JSON manifest.
+   The reference has no equivalent (its single-file DB is all-or-nothing,
+   SURVEY §5 checkpoint/resume); shards enable resume and per-host loading.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from hypergen_tpu.io.bitpack import compress_hv, unpack_hv
+
+
+@dataclasses.dataclass
+class FileSketch:
+    """One genome's sketch record (reference:src/types.rs:224-235)."""
+
+    ksize: int
+    scaled: int
+    canonical: bool
+    seed: int
+    hv_d: int
+    hv_quant_bits: int
+    hv_norm_2: int
+    file_str: str
+    hv: np.ndarray  # int16; packed bytes reinterpreted as i16 when compressed
+
+    def decompress(self) -> np.ndarray:
+        """Unpack to the dense int16 HV (reference:src/hd.rs:184-212)."""
+        return unpack_hv(self.hv.tobytes(), self.hv_quant_bits, self.hv_d)
+
+    @classmethod
+    def from_dense(
+        cls,
+        hv_dense: np.ndarray,
+        norm2: int,
+        file_str: str,
+        ksize: int,
+        scaled: int,
+        canonical: bool,
+        seed: int,
+    ) -> "FileSketch":
+        packed, bits = compress_hv(hv_dense)
+        hv_i16 = np.frombuffer(packed, dtype="<i2").copy()
+        return cls(
+            ksize=ksize,
+            scaled=scaled,
+            canonical=canonical,
+            seed=seed,
+            hv_d=int(hv_dense.shape[0]),
+            hv_quant_bits=bits,
+            hv_norm_2=int(norm2),
+            file_str=file_str,
+            hv=hv_i16,
+        )
+
+
+def dump_sketch(sketches: List[FileSketch], out_path) -> int:
+    """Write reference-compatible .sketch bytes; returns file size."""
+    parts = [struct.pack("<Q", len(sketches))]
+    for s in sketches:
+        name = s.file_str.encode("utf-8")
+        parts.append(
+            struct.pack(
+                "<BQ?QQBi",
+                s.ksize & 0xFF,
+                s.scaled,
+                bool(s.canonical),
+                s.seed,
+                s.hv_d,
+                s.hv_quant_bits & 0xFF,
+                _wrap_i32(s.hv_norm_2),
+            )
+        )
+        parts.append(struct.pack("<Q", len(name)))
+        parts.append(name)
+        hv = np.asarray(s.hv, dtype="<i2")
+        parts.append(struct.pack("<Q", hv.shape[0]))
+        parts.append(hv.tobytes())
+    blob = b"".join(parts)
+    Path(out_path).write_bytes(blob)
+    return len(blob)
+
+
+def load_sketch(path) -> List[FileSketch]:
+    """Read a reference-compatible .sketch file."""
+    blob = Path(path).read_bytes()
+    off = 0
+
+    def take(n: int) -> bytes:
+        nonlocal off
+        if off + n > len(blob):
+            raise ValueError(f"{path}: truncated sketch file at offset {off}")
+        out = blob[off : off + n]
+        off += n
+        return out
+
+    (count,) = struct.unpack("<Q", take(8))
+    sketches: List[FileSketch] = []
+    for _ in range(count):
+        ksize, scaled, canonical, seed, hv_d, qbits, norm2 = struct.unpack(
+            "<BQ?QQBi", take(31)
+        )
+        (name_len,) = struct.unpack("<Q", take(8))
+        name = take(name_len).decode("utf-8")
+        (hv_len,) = struct.unpack("<Q", take(8))
+        hv = np.frombuffer(take(2 * hv_len), dtype="<i2").copy()
+        sketches.append(
+            FileSketch(ksize, scaled, canonical, seed, hv_d, qbits, norm2, name, hv)
+        )
+    return sketches
+
+
+def _wrap_i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+# --- sharded TPU-native DB ---------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedDB:
+    """Dense sketch DB: HVs as an int16 [n, hv_d] matrix per shard."""
+
+    ksize: int
+    scaled: int
+    canonical: bool
+    seed: int
+    hv_d: int
+    names: List[str]
+    hvs: np.ndarray  # int16 [n, hv_d]
+    norms: np.ndarray  # int32 [n]
+
+
+def dump_sharded_db(db: ShardedDB, out_dir, n_shards: int = 1) -> None:
+    """Write an .hgdb directory: manifest.json + per-shard .npy files."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = len(db.names)
+    bounds = [round(i * n / n_shards) for i in range(n_shards + 1)]
+    shards = []
+    for i in range(n_shards):
+        a, b = bounds[i], bounds[i + 1]
+        np.save(out / f"shard_{i:05d}_hv.npy", db.hvs[a:b])
+        np.save(out / f"shard_{i:05d}_norm.npy", db.norms[a:b])
+        shards.append(
+            {
+                "id": i,
+                "rows": [a, b],
+                "hv": f"shard_{i:05d}_hv.npy",
+                "norm": f"shard_{i:05d}_norm.npy",
+            }
+        )
+    manifest = {
+        "format": "hgdb-v1",
+        "ksize": db.ksize,
+        "scaled": db.scaled,
+        "canonical": db.canonical,
+        "seed": db.seed,
+        "hv_d": db.hv_d,
+        "n_genomes": n,
+        "names": db.names,
+        "shards": shards,
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+
+
+def load_sharded_db(path, shard_ids: Optional[List[int]] = None) -> ShardedDB:
+    """Load all (or selected) shards of an .hgdb directory."""
+    root = Path(path)
+    manifest = json.loads((root / "manifest.json").read_text())
+    shards = manifest["shards"]
+    if shard_ids is not None:
+        shards = [s for s in shards if s["id"] in set(shard_ids)]
+    hvs = [np.load(root / s["hv"]) for s in shards]
+    norms = [np.load(root / s["norm"]) for s in shards]
+    rows = [r for s in shards for r in range(s["rows"][0], s["rows"][1])]
+    names = [manifest["names"][r] for r in rows]
+    return ShardedDB(
+        ksize=manifest["ksize"],
+        scaled=manifest["scaled"],
+        canonical=manifest["canonical"],
+        seed=manifest["seed"],
+        hv_d=manifest["hv_d"],
+        names=names,
+        hvs=np.concatenate(hvs) if hvs else np.zeros((0, manifest["hv_d"]), np.int16),
+        norms=np.concatenate(norms) if norms else np.zeros((0,), np.int32),
+    )
+
+
+def sketches_to_db(sketches: List[FileSketch]) -> ShardedDB:
+    """Decompress a .sketch list into the dense DB layout."""
+    if not sketches:
+        raise ValueError("empty sketch list")
+    s0 = sketches[0]
+    hvs = np.stack([s.decompress() for s in sketches])
+    return ShardedDB(
+        ksize=s0.ksize,
+        scaled=s0.scaled,
+        canonical=s0.canonical,
+        seed=s0.seed,
+        hv_d=s0.hv_d,
+        names=[s.file_str for s in sketches],
+        hvs=hvs,
+        norms=np.array([s.hv_norm_2 for s in sketches], dtype=np.int32),
+    )

@@ -1,0 +1,143 @@
+"""ANI estimation as dense HV matmuls (replaces the reference's pair loop).
+
+The reference computes each pair's dot product in a rayon thread loop
+(reference:src/dist.rs:267-291). On TPU the entire n_ref x n_query dot
+matrix is ONE matmul on the MXU. Exactness: the reference accumulates
+i16*i16 products into i32 with wrapping (reference:src/dist.rs:146-151); we
+preserve that bit-exactly either with a direct int32 dot_general (CPU
+backend) or with a 4-way int8-split (TPU MXU path):
+
+    v = 256*hi + (lo - 128) + 128,  hi = v >> 8 in [-128,127],
+                                    lo = (v & 0xFF) - 128 in [-128,127]
+    dot(r, q) = 65536*HH + 256*(HL + LH) + LL
+              + 32768*(sum(RH) + sum(QH)) + 128*(sum(RL) + sum(QL)) + 16384*D
+
+All four matmuls are int8 x int8 -> int32 on the MXU; the splits are
+value-preserving casts, so every downstream wrap is congruent mod 2^32 to
+the reference's wrapping i32 accumulation. (A naive sign-extended-low-byte
+split would need hi=128 for v in [32640, 32767], which int8 cannot hold.)
+
+The scalar dot -> Jaccard -> ANI map follows reference:src/dist.rs:150-161
+in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_i16_to_i8(x: jnp.ndarray):
+    """x == 256*hi + (lo + 128); hi, lo both exactly representable in int8."""
+    x32 = x.astype(jnp.int32)
+    hi = (x32 >> 8).astype(jnp.int8)  # arithmetic shift: [-128, 127]
+    lo = ((x32 & 0xFF) - 128).astype(jnp.int8)  # [-128, 127]
+    return hi, lo
+
+
+def dot_i16_exact(r: jnp.ndarray, q: jnp.ndarray, use_mxu: bool = True) -> jnp.ndarray:
+    """Int32 [M, N] dot matrix of int16 HVs r [M, D], q [N, D].
+
+    Bit-exact (mod 2^32) vs. the reference's wrapping i32 accumulation.
+    """
+    if use_mxu:
+        D = r.shape[-1]
+        rh, rl = split_i16_to_i8(r)
+        qh, ql = split_i16_to_i8(q)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a,
+                b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        hh = d(rh, qh)
+        hl = d(rh, ql)
+        lh = d(rl, qh)
+        ll = d(rl, ql)
+        s32 = lambda a: jnp.sum(a.astype(jnp.int32), axis=-1)
+        row = (s32(rh) << 15) + (s32(rl) << 7)  # [M]
+        col = (s32(qh) << 15) + (s32(ql) << 7)  # [N]
+        const = jnp.int32(((16384 * D + (1 << 31)) % (1 << 32)) - (1 << 31))
+        return (
+            (hh << 16)
+            + ((hl + lh) << 8)
+            + ll
+            + row[:, None]
+            + col[None, :]
+            + const
+        )
+    return jax.lax.dot_general(
+        r.astype(jnp.int32),
+        q.astype(jnp.int32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def ani_from_dot_matrix(
+    dot: jnp.ndarray,
+    norm2_r: jnp.ndarray,
+    norm2_q: jnp.ndarray,
+    ksize: int,
+) -> jnp.ndarray:
+    """float32 ANI%% matrix (reference:src/dist.rs:150-161).
+
+    dot: int32 [M, N]; norm2_r: int32 [M]; norm2_q: int32 [N].
+    NaN -> 0, clamp to [0, 1] * 100.
+
+    NOTE: XLA may algebraically rewrite the float32 chain, so this can
+    deviate from the reference's scalar f32 evaluation by O(1e-4) ANI%%.
+    Fine for search/ranking; the TSV output path instead computes the dot
+    matrix on device and applies the host-side float32 map
+    (oracle.pipeline.ani_from_dot semantics) for closest-to-reference
+    rounding at the 3-decimal print boundary.
+    """
+    dot_f = dot.astype(jnp.float32)
+    denom = (norm2_r[:, None] + norm2_q[None, :] - dot).astype(jnp.float32)
+    jaccard = dot_f / denom
+    inner = jnp.float32(2.0) / (jnp.float32(1.0) / jaccard + jnp.float32(1.0))
+    ani = jnp.float32(1.0) + jnp.log(inner) / jnp.float32(ksize)
+    ani = jnp.where(jnp.isnan(ani), jnp.float32(0.0), ani)
+    ani = jnp.clip(ani, jnp.float32(0.0), jnp.float32(1.0))
+    return ani * jnp.float32(100.0)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "use_mxu"))
+def ani_matrix(
+    r_hv: jnp.ndarray,
+    norm2_r: jnp.ndarray,
+    q_hv: jnp.ndarray,
+    norm2_q: jnp.ndarray,
+    ksize: int,
+    use_mxu: bool = True,
+) -> jnp.ndarray:
+    """Full [M, N] ANI%% matrix from int16 HVs."""
+    dot = dot_i16_exact(r_hv, q_hv, use_mxu=use_mxu)
+    return ani_from_dot_matrix(dot, norm2_r, norm2_q, ksize)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "k_top", "use_mxu"))
+def ani_topk(
+    r_hv: jnp.ndarray,
+    norm2_r: jnp.ndarray,
+    q_hv: jnp.ndarray,
+    norm2_q: jnp.ndarray,
+    ksize: int,
+    k_top: int,
+    use_mxu: bool = True,
+):
+    """Per-query top-k (ANI, ref index) — the `search` primitive.
+
+    Returns (ani [N, k_top] float32, idx [N, k_top] int32) where rows are
+    queries. The reference's `search` subcommand is an unimplemented stub
+    (reference:src/main.rs:22-24); this realizes it as dist-with-top-k.
+    """
+    ani = ani_matrix(r_hv, norm2_r, q_hv, norm2_q, ksize, use_mxu=use_mxu)  # [M, N]
+    vals, idx = jax.lax.top_k(ani.T, k_top)  # [N, k_top]
+    return vals, idx.astype(jnp.int32)

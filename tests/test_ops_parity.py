@@ -1,0 +1,302 @@
+"""Device-op parity vs. the pure-Python oracle (runs on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hypergen_tpu.ops import u64 as u
+from hypergen_tpu.ops.u64 import U64
+from hypergen_tpu.ops import hashes as oph
+from hypergen_tpu.ops.kmers import canonical_kmer_words, hash_kmer_positions
+from hypergen_tpu.ops.compact import compact_masked
+from hypergen_tpu.ops.encode import encode_hv, hv_to_i16, hv_norm2_i32
+from hypergen_tpu.ops.ani import ani_from_dot_matrix, dot_i16_exact
+from hypergen_tpu.oracle import hashes as orh
+from hypergen_tpu.oracle import pipeline as orp
+from hypergen_tpu.io.fastx import seq_to_codes
+from hypergen_tpu.params import fracminhash_threshold
+
+M64 = (1 << 64) - 1
+rng = np.random.default_rng(42)
+
+
+def rand_u64(n):
+    return rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+
+
+def as_pairs(arr_u64):
+    return u.from_np_u64(arr_u64)
+
+
+class TestU64:
+    def test_roundtrip(self):
+        x = rand_u64(100)
+        np.testing.assert_array_equal(u.to_np_u64(as_pairs(x)), x)
+
+    def test_add(self):
+        a, b = rand_u64(200), rand_u64(200)
+        got = u.to_np_u64(u.add(as_pairs(a), as_pairs(b)))
+        exp = (a.astype(object) + b.astype(object)) % (1 << 64)
+        np.testing.assert_array_equal(got.astype(object), exp)
+
+    def test_mul128(self):
+        a, b = rand_u64(200), rand_u64(200)
+        hi, lo = u.mul128(as_pairs(a), as_pairs(b))
+        full = a.astype(object) * b.astype(object)
+        np.testing.assert_array_equal(u.to_np_u64(lo).astype(object), full % (1 << 64))
+        np.testing.assert_array_equal(u.to_np_u64(hi).astype(object), full >> 64)
+
+    def test_mul_lo(self):
+        a, b = rand_u64(200), rand_u64(200)
+        got = u.to_np_u64(u.mul_lo(as_pairs(a), as_pairs(b)))
+        exp = (a.astype(object) * b.astype(object)) % (1 << 64)
+        np.testing.assert_array_equal(got.astype(object), exp)
+
+    @pytest.mark.parametrize("s", [1, 7, 23, 31, 32, 33, 41, 63])
+    def test_shifts_rot(self, s):
+        a = rand_u64(64)
+        pa = as_pairs(a)
+        np.testing.assert_array_equal(
+            u.to_np_u64(u.shl(pa, s)).astype(object),
+            (a.astype(object) << s) % (1 << 64),
+        )
+        np.testing.assert_array_equal(
+            u.to_np_u64(u.shr(pa, s)).astype(object), a.astype(object) >> s
+        )
+        exp_rot = ((a.astype(object) >> s) | (a.astype(object) << (64 - s))) % (1 << 64)
+        np.testing.assert_array_equal(
+            u.to_np_u64(u.rot_right(pa, s)).astype(object), exp_rot
+        )
+
+    def test_lt(self):
+        a, b = rand_u64(500), rand_u64(500)
+        a[:50] = b[:50]  # exercise equal-hi paths
+        got = np.asarray(u.lt(as_pairs(a), as_pairs(b)))
+        np.testing.assert_array_equal(got, a < b)
+
+    def test_lt_const_threshold(self):
+        thr = fracminhash_threshold(1500)
+        a = rand_u64(500)
+        a[:10] = thr  # boundary: strict less-than
+        got = np.asarray(u.lt_const(as_pairs(a), thr))
+        np.testing.assert_array_equal(got, a < np.uint64(thr))
+
+
+class TestHashes:
+    @pytest.mark.parametrize("length", [1, 5, 8, 9, 16, 17, 21, 24, 25, 31, 32])
+    def test_t1ha2_vs_oracle(self, length):
+        n = 32
+        data = rng.integers(0, 256, size=(n, length), dtype=np.uint8)
+        seed = 123
+        exp = np.array(
+            [orh.t1ha2_atonce(bytes(row), seed) for row in data], dtype=np.uint64
+        )
+        words = _bytes_to_words(data, length)
+        got = u.to_np_u64(oph.t1ha2_atonce_words(words, length, seed))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_t1ha2_seed_variants(self):
+        data = rng.integers(0, 256, size=(8, 21), dtype=np.uint8)
+        for seed in [0, 123, M64, 42424242]:
+            exp = np.array(
+                [orh.t1ha2_atonce(bytes(r), seed) for r in data], dtype=np.uint64
+            )
+            got = u.to_np_u64(
+                oph.t1ha2_atonce_words(_bytes_to_words(data, 21), 21, seed)
+            )
+            np.testing.assert_array_equal(got, exp)
+
+    def test_mm_hash64_vs_oracle(self):
+        keys = rand_u64(200)
+        exp = np.array([orh.mm_hash64(int(k)) for k in keys], dtype=np.uint64)
+        got = u.to_np_u64(oph.mm_hash64(as_pairs(keys)))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_wyrng_words_vs_oracle(self):
+        W = 16
+        seeds = rand_u64(20)
+        offsets = u.from_np_u64(oph.wyrng_word_offsets(W))
+        w_hi, w_lo = oph.wyrng_words_from_hash(as_pairs(seeds), offsets)
+        got = (np.asarray(w_hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+            w_lo, dtype=np.uint64
+        )
+        for i, s in enumerate(seeds):
+            exp = orh.wyrng_words(int(s), W)
+            np.testing.assert_array_equal(got[i], np.array(exp, dtype=np.uint64))
+
+
+def _bytes_to_words(data: np.ndarray, length: int):
+    """Host-side packing of byte rows into LE u64 word U64s (test helper)."""
+    n_words = (length + 7) // 8
+    padded = np.zeros((data.shape[0], n_words * 8), dtype=np.uint8)
+    padded[:, :length] = data[:, :length]
+    w64 = padded.view("<u8")  # [n, n_words]
+    return [as_pairs(np.ascontiguousarray(w64[:, i])) for i in range(n_words)]
+
+
+class TestKmers:
+    def _random_seq(self, n, with_junk=True):
+        alphabet = b"ACGTacgt"
+        seq = rng.choice(list(alphabet), size=n).astype(np.uint8)
+        if with_junk:
+            junk_pos = rng.choice(n, size=max(1, n // 20), replace=False)
+            seq[junk_pos] = ord("N")
+        return seq.tobytes()
+
+    @pytest.mark.parametrize("k", [3, 15, 21, 31])
+    def test_hash_positions_vs_oracle(self, k):
+        seq = self._random_seq(400)
+        codes = seq_to_codes(seq)
+        h, keep = hash_kmer_positions(
+            jnp.asarray(codes), k, seed=123, threshold=M64, canonical=True
+        )
+        got = u.to_np_u64(h)[np.asarray(keep)]
+        norm = orp.normalize_seq(seq)
+        exp = [orh.t1ha2_atonce(km, 123) for km in orp.canonical_kmers(norm, k)]
+        np.testing.assert_array_equal(got, np.array(exp, dtype=np.uint64))
+
+    def test_threshold_filtering(self):
+        seq = self._random_seq(2000, with_junk=False)
+        codes = seq_to_codes(seq)
+        thr = fracminhash_threshold(4)
+        h, keep = hash_kmer_positions(
+            jnp.asarray(codes), 21, seed=123, threshold=thr, canonical=True
+        )
+        kept = u.to_np_u64(h)[np.asarray(keep)]
+        exp = sorted(
+            orp.extract_kmer_hashes([seq], ksize=21, scaled=4, seed=123)
+        )
+        assert sorted(set(kept.tolist())) == exp
+
+    def test_noncanonical(self):
+        seq = b"ACGTTGCAACGTTGCAACGTTGCA" * 4
+        codes = seq_to_codes(seq)
+        h, keep = hash_kmer_positions(
+            jnp.asarray(codes), 21, seed=123, threshold=M64, canonical=False
+        )
+        norm = orp.normalize_seq(seq)
+        exp = [
+            orh.t1ha2_atonce(km, 123) for km in orp._forward_kmers(norm, 21)
+        ]
+        got = u.to_np_u64(h)[np.asarray(keep)]
+        np.testing.assert_array_equal(got, np.array(exp, dtype=np.uint64))
+
+    def test_mmhash_method(self):
+        seq = self._random_seq(300, with_junk=False)
+        codes = seq_to_codes(seq)
+        h, keep = hash_kmer_positions(
+            jnp.asarray(codes), 21, seed=123, threshold=M64,
+            canonical=True, method="mmhash",
+        )
+        norm = orp.normalize_seq(seq)
+        exp = [
+            orh.mm_hash64(orp._pack_2bit(km))
+            for km in orp.canonical_kmers(norm, 21)
+        ]
+        got = u.to_np_u64(h)[np.asarray(keep)]
+        np.testing.assert_array_equal(got, np.array(exp, dtype=np.uint64))
+
+    def test_batched_leading_dim(self):
+        seqs = [self._random_seq(200) for _ in range(4)]
+        codes = np.stack([seq_to_codes(s) for s in seqs])
+        h, keep = hash_kmer_positions(
+            jnp.asarray(codes), 21, seed=123, threshold=M64, canonical=True
+        )
+        assert h.lo.shape == (4, 200 - 20)
+        for b, seq in enumerate(seqs):
+            norm = orp.normalize_seq(seq)
+            exp = [orh.t1ha2_atonce(km, 123) for km in orp.canonical_kmers(norm, 21)]
+            got = u.to_np_u64(h[b])[np.asarray(keep[b])]
+            np.testing.assert_array_equal(got, np.array(exp, dtype=np.uint64))
+
+
+class TestCompact:
+    def test_compact_flat(self):
+        n, cap = 300, 64
+        vals = rand_u64(n)
+        keep = rng.random(n) < 0.1
+        out, count = compact_masked(as_pairs(vals), jnp.asarray(keep), cap)
+        assert int(count) == keep.sum()
+        got = u.to_np_u64(out)[: int(count)]
+        np.testing.assert_array_equal(got, vals[keep])
+
+    def test_compact_batched(self):
+        vals = rand_u64(4 * 100).reshape(4, 100)
+        keep = rng.random((4, 100)) < 0.2
+        out, count = compact_masked(as_pairs(vals), jnp.asarray(keep), 40)
+        for b in range(4):
+            c = int(count[b])
+            assert c == keep[b].sum()
+            np.testing.assert_array_equal(u.to_np_u64(out[b])[:c], vals[b][keep[b]])
+
+    def test_overflow_reports_true_count(self):
+        vals = rand_u64(50)
+        keep = np.ones(50, dtype=bool)
+        out, count = compact_masked(as_pairs(vals), jnp.asarray(keep), 10)
+        assert int(count) == 50  # caller detects cap overflow
+
+
+class TestEncode:
+    @pytest.mark.parametrize("hv_d", [256, 1024])
+    def test_encode_vs_oracle(self, hv_d):
+        n = 37
+        hashes = rand_u64(n)
+        pad_to = 64
+        h_pad = np.zeros(pad_to, dtype=np.uint64)
+        h_pad[:n] = hashes
+        valid = np.arange(pad_to) < n
+        hv = encode_hv(
+            as_pairs(h_pad[None, :]), jnp.asarray(valid[None, :]), hv_d, block=32
+        )
+        got = hv_to_i16(hv)[0]
+        exp = orp.encode_hash_hd(hashes.tolist(), hv_d)
+        np.testing.assert_array_equal(np.asarray(got), exp)
+
+    def test_norm2(self):
+        hv = rng.integers(-300, 300, size=(2, 512)).astype(np.int16)
+        got = np.asarray(hv_norm2_i32(jnp.asarray(hv)))
+        exp = [orp.hv_norm2(hv[i]) for i in range(2)]
+        np.testing.assert_array_equal(got, exp)
+
+
+class TestAni:
+    def test_dot_exact_both_paths(self):
+        r = rng.integers(-3000, 3000, size=(5, 512)).astype(np.int16)
+        q = rng.integers(-3000, 3000, size=(7, 512)).astype(np.int16)
+        exp = r.astype(np.int64) @ q.astype(np.int64).T
+        exp_wrapped = ((exp + (1 << 31)) % (1 << 32) - (1 << 31)).astype(np.int32)
+        for use_mxu in (False, True):
+            got = np.asarray(dot_i16_exact(jnp.asarray(r), jnp.asarray(q), use_mxu))
+            np.testing.assert_array_equal(got, exp_wrapped)
+
+    def test_dot_exact_extreme_values(self):
+        """int8-split must survive the full i16 range incl. 32767/-32768."""
+        r = np.array([[32767, -32768, 255, -256, 1] * 128], dtype=np.int16)
+        q = np.array([[-32768, 32767, -1, 256, 0] * 128], dtype=np.int16)
+        exp = int((r.astype(np.int64) @ q.astype(np.int64).T)[0, 0])
+        exp = ((exp + (1 << 31)) % (1 << 32)) - (1 << 31)
+        for use_mxu in (False, True):
+            got = int(dot_i16_exact(jnp.asarray(r), jnp.asarray(q), use_mxu)[0, 0])
+            assert got == exp
+
+    def test_ani_matrix_vs_oracle(self):
+        rng2 = np.random.default_rng(7)
+        r = rng2.integers(-50, 50, size=(4, 1024)).astype(np.int16)
+        q = np.concatenate([r[:2], rng2.integers(-50, 50, (3, 1024)).astype(np.int16)])
+        nr = np.array([orp.hv_norm2(x) for x in r], dtype=np.int32)
+        nq = np.array([orp.hv_norm2(x) for x in q], dtype=np.int32)
+        dot = (r.astype(np.int64) @ q.astype(np.int64).T).astype(np.int32)
+        got = np.asarray(
+            ani_from_dot_matrix(jnp.asarray(dot), jnp.asarray(nr), jnp.asarray(nq), 21)
+        )
+        # device formula may differ from scalar f32 evaluation by O(1e-4)
+        # (XLA algebraic rewrites); the TSV path uses the host map instead
+        for i in range(4):
+            for j in range(q.shape[0]):
+                exp = orp.ani_from_dot(int(dot[i, j]), int(nr[i]), int(nq[j]), 21)
+                assert got[i, j] == pytest.approx(exp, abs=2e-3)
+        # identical sketches -> 100
+        assert got[0, 0] == pytest.approx(100.0)
+        assert got[1, 1] == pytest.approx(100.0)
