@@ -1,0 +1,197 @@
+"""hypergen-tpu CLI: sketch / dist / search.
+
+Flag surface mirrors the reference CLI (reference:src/utils.rs:16-206):
+  sketch -p DIR -o OUT [-k 21 -s 1500 -d 4096 -S 123 -m t1ha2 -C true ...]
+  dist   -r REF.sketch -q QUERY.sketch -o OUT.tsv [-a 85.0 ...]
+  search -r REF.sketch -q QUERY.sketch -o OUT.tsv [--top_k N]
+
+`search` — an empty TODO stub in the reference (reference:src/main.rs:22-24)
+— is implemented here as dist-with-top-k per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+from hypergen_tpu import params as P
+from hypergen_tpu.params import DistParams, SketchParams
+from hypergen_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("hypergen")
+
+
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected bool, got {v!r}")
+
+
+def _add_common(sp: argparse.ArgumentParser) -> None:
+    sp.add_argument("-t", "--thread", type=int, default=16,
+                    help="# of host worker threads for file I/O")
+    sp.add_argument("-C", "--canonical", type=_str2bool, default=True,
+                    help="use canonical k-mers")
+    sp.add_argument("-k", "--ksize", type=int, default=21, help="k-mer size")
+    sp.add_argument("-S", "--seed", type=int, default=123, help="hash seed")
+    sp.add_argument("-s", "--scaled", type=int, default=1500,
+                    help="FracMinHash scaled factor")
+    sp.add_argument("-d", "--hv_d", type=int, default=4096,
+                    help="hypervector dimension")
+    sp.add_argument("-Q", "--quant_scale", type=float, default=1.0,
+                    help="HV quantization scale (parsed for compatibility; "
+                         "unused, as in the reference)")
+    sp.add_argument("-a", "--ani_th", type=float, default=85.0,
+                    help="ANI report threshold")
+    sp.add_argument("-D", "--device", type=str, default="tpu",
+                    help="device backend (tpu/cpu)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="hypergen-tpu",
+        description=(
+            "HyperGen-TPU: fast, memory-efficient genome sketching in "
+            "hyperdimensional space on TPUs.\n"
+            "1. sketch: FracMinHash + HDC sketching of .fna/.fa/.fasta\n"
+            "2. dist:   ANI estimation between sketch databases\n"
+            "3. search: top-k database search"
+        ),
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("--version", action="version", version=P.VERSION)
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    sk = sub.add_parser(P.CMD_SKETCH, help="sketch genome FASTA files")
+    sk.add_argument("-p", "--path", type=Path, required=True,
+                    help="input folder to sketch")
+    sk.add_argument("-o", "--out", type=Path, required=True,
+                    help="output sketch file (.sketch) or DB dir (.hgdb)")
+    sk.add_argument("-m", "--sketch_method", type=str, default="t1ha2",
+                    choices=["t1ha2", "mmhash"])
+    sk.add_argument("--shards", type=int, default=1,
+                    help="number of shards when writing an .hgdb directory")
+    _add_common(sk)
+
+    for name, extra in ((P.CMD_DIST, False), (P.CMD_SEARCH, True)):
+        dp = sub.add_parser(
+            name,
+            help="estimate ANI between sketches" if not extra
+            else "top-k search of query sketches against a reference DB",
+        )
+        dp.add_argument("-p", "--path", type=Path, default=None,
+                        help="(compat) unused")
+        dp.add_argument("-r", "--path_r", type=Path, required=True,
+                        help="reference sketch file / .hgdb dir")
+        dp.add_argument("-q", "--path_q", type=Path, required=True,
+                        help="query sketch file / .hgdb dir")
+        dp.add_argument("-o", "--out", type=Path, required=True,
+                        help="output ANI TSV")
+        dp.add_argument("-m", "--sketch_method", type=str, default="fracminhash")
+        if extra:
+            dp.add_argument("--top_k", type=int, default=10,
+                            help="hits reported per query")
+        _add_common(dp)
+    return ap
+
+
+def _load_db(path: Path):
+    from hypergen_tpu.io.sketch_db import load_sharded_db, load_sketch, sketches_to_db
+
+    if path.is_dir():
+        return load_sharded_db(path)
+    return sketches_to_db(load_sketch(path))
+
+
+def run_sketch(args) -> None:
+    from hypergen_tpu.io.fastx import get_fasta_files
+    from hypergen_tpu.io.sketch_db import dump_sharded_db, dump_sketch, sketches_to_db
+    from hypergen_tpu.models.sketcher import Sketcher
+
+    sp = SketchParams(
+        path=args.path, out_file=args.out, sketch_method=args.sketch_method,
+        canonical=args.canonical, device=args.device, ksize=args.ksize,
+        seed=args.seed, scaled=args.scaled, hv_d=args.hv_d,
+        hv_quant_scale=args.quant_scale, threads=args.thread,
+    )
+    files = get_fasta_files(sp.path)
+    if not files:
+        log.error("no FASTA files found under %s", sp.path)
+        sys.exit(1)
+    log.info("Start sketching...")
+    t0 = time.monotonic()
+    sketcher = Sketcher(sp)
+    sketches = sketcher.sketch_files(files)
+    dt = time.monotonic() - t0
+    log.info(
+        "Sketching %d files took %.2fs - Speed: %.1f files/s",
+        len(files), dt, len(files) / dt if dt > 0 else 0.0,
+    )
+    if str(args.out).endswith(".hgdb"):
+        dump_sharded_db(sketches_to_db(sketches), args.out, n_shards=args.shards)
+        log.info("Dump sharded DB to %s", args.out)
+    else:
+        size = dump_sketch(sketches, args.out)
+        log.info(
+            "Dump sketch file to %s with size %.2f MB",
+            args.out, size / 1024.0 / 1024.0,
+        )
+
+
+def run_dist(args, top_k: int = 0) -> None:
+    from hypergen_tpu.models.comparator import (
+        Comparator,
+        format_ani_report,
+        report_sparsity,
+    )
+
+    t0 = time.monotonic()
+    if_sym = args.path_r == args.path_q
+    ref_db = _load_db(args.path_r)
+    query_db = ref_db if if_sym else _load_db(args.path_q)
+    if ref_db.ksize != query_db.ksize:
+        log.error("Ref and query sketches use different kmer sizes!")
+        sys.exit(1)
+    if ref_db.hv_d != query_db.hv_d:
+        log.error("Ref and query sketches use different HV dimensions!")
+        sys.exit(1)
+    log.info("Computing ANI..")
+    # ksize comes from the sketch file, not the CLI flag
+    # (reference:src/dist.rs:26,50)
+    comp = Comparator(ksize=ref_db.ksize)
+    ri, qi, ani = comp.ani_pairs(ref_db, query_db, symmetric=if_sym)
+    tsv, n_rep = format_ani_report(
+        ref_db.names, query_db.names, ri, qi, ani, args.ani_th, top_k=top_k
+    )
+    Path(args.out).write_text(tsv)
+    report_sparsity(n_rep, len(ani), args.ani_th)
+    log.info(
+        "Computed ANIs for %d ref files and %d query files took %.3fs",
+        len(ref_db.names), len(query_db.names), time.monotonic() - t0,
+    )
+
+
+def run_search(args) -> None:
+    from hypergen_tpu.parallel.search import run_search_cli
+
+    run_search_cli(args, _load_db)
+
+
+def main(argv=None) -> None:
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    if args.mode == P.CMD_SKETCH:
+        run_sketch(args)
+    elif args.mode == P.CMD_DIST:
+        run_dist(args)
+    elif args.mode == P.CMD_SEARCH:
+        run_search(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -2,14 +2,21 @@
 
 Multi-chip sharding (tests/test_parallel.py) needs several devices; real TPU
 hardware is single-chip in CI, so tests force the CPU backend with 8 virtual
-devices. Must run before the first `import jax` anywhere in the test session.
+devices. The environment may pin JAX_PLATFORMS (e.g. to a TPU relay) via
+sitecustomize, so we must both set the env *and* override jax.config after
+import — all before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("HG_TEST_TPU", "") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,204 @@
+"""End-to-end pipeline tests: files -> sketch -> .sketch -> dist TSV.
+
+Mirrors the reference's load-bearing test pattern (SURVEY §4): numeric
+parity between the fast path and the scalar oracle, plus full-CLI flows on
+the reference's own fixture (reference:test/test.fna).
+"""
+
+import numpy as np
+import pytest
+
+from hypergen_tpu.cli import main as cli_main
+from hypergen_tpu.io.fastx import read_fasta_records, seq_to_codes
+from hypergen_tpu.io.sketch_db import load_sketch, sketches_to_db
+from hypergen_tpu.models.comparator import ani_f32_host
+from hypergen_tpu.models.sketcher import Sketcher
+from hypergen_tpu.oracle import pipeline as orp
+from hypergen_tpu.params import SketchParams
+
+rng = np.random.default_rng(11)
+
+
+def _write_genome(path, length, seed, mutate_from=None, mut_rate=0.0):
+    r = np.random.default_rng(seed)
+    if mutate_from is None:
+        seq = r.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=length)
+    else:
+        seq = mutate_from.copy()
+        flips = r.random(seq.shape[0]) < mut_rate
+        seq[flips] = r.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                              size=int(flips.sum()))
+    lines = [b">g", *(seq[i : i + 70].tobytes() for i in range(0, len(seq), 70))]
+    path.write_bytes(b"\n".join(lines) + b"\n")
+    return seq
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    # small chunk + low scaled so tiny test genomes produce hashes
+    return SketchParams(ksize=21, seed=123, scaled=30, hv_d=1024)
+
+
+class TestSketcherParity:
+    def test_sketcher_matches_oracle_single_genome(self, small_params, tmp_path):
+        seq = _write_genome(tmp_path / "g.fna", 5000, seed=1)
+        sk = Sketcher(small_params, chunk_positions=512)
+        fs = sk.sketch_file(tmp_path / "g.fna")
+        oracle = orp.sketch_genome(
+            [seq.tobytes()], ksize=21, scaled=30, seed=123, hv_d=1024
+        )
+        np.testing.assert_array_equal(fs.decompress(), oracle["hv"])
+        assert fs.hv_norm_2 == oracle["norm2"]
+
+    def test_sketcher_multi_record_and_case(self, tmp_path):
+        p = tmp_path / "m.fna"
+        p.write_bytes(b">r1\nacgtACGTNNacgtacgtACGTACGTacgt\n>r2\n"
+                      + b"GATTACA" * 40 + b"\n")
+        params = SketchParams(ksize=21, seed=123, scaled=2, hv_d=1024)
+        sk = Sketcher(params, chunk_positions=256)
+        fs = sk.sketch_file(p)
+        recs = read_fasta_records(p)
+        oracle = orp.sketch_genome(
+            [r[1] for r in recs], ksize=21, scaled=2, seed=123, hv_d=1024
+        )
+        np.testing.assert_array_equal(fs.decompress(), oracle["hv"])
+        assert oracle["hashes"], "fixture should produce hashes"
+
+    def test_reference_fixture_sketch(self, tmp_path):
+        """reference:test/test.fna end-to-end with scaled=1 (tiny record)."""
+        import shutil
+
+        shutil.copy("/root/reference/test/test.fna", tmp_path / "t.fna")
+        params = SketchParams(ksize=21, seed=123, scaled=1, hv_d=1024)
+        sk = Sketcher(params, chunk_positions=128)
+        fs = sk.sketch_file(tmp_path / "t.fna")
+        recs = read_fasta_records(tmp_path / "t.fna")
+        oracle = orp.sketch_genome(
+            [r[1] for r in recs], ksize=21, scaled=1, seed=123, hv_d=1024
+        )
+        assert fs.hv_norm_2 == oracle["norm2"]
+        np.testing.assert_array_equal(fs.decompress(), oracle["hv"])
+        assert len(oracle["hashes"]) > 0
+
+    def test_chunk_boundary_invariance(self, small_params, tmp_path):
+        """Same genome, different chunk sizes -> identical sketch."""
+        _write_genome(tmp_path / "g.fna", 3000, seed=5)
+        outs = []
+        for C in (128, 512, 4096):
+            sk = Sketcher(small_params, chunk_positions=C)
+            outs.append(sk.sketch_file(tmp_path / "g.fna"))
+        for fs in outs[1:]:
+            np.testing.assert_array_equal(fs.decompress(), outs[0].decompress())
+            assert fs.hv_norm_2 == outs[0].hv_norm_2
+
+    def test_mmhash_method_end_to_end(self, tmp_path):
+        seq = _write_genome(tmp_path / "g.fna", 4000, seed=9)
+        params = SketchParams(ksize=21, seed=123, scaled=20, hv_d=512,
+                              sketch_method="mmhash")
+        sk = Sketcher(params, chunk_positions=512)
+        fs = sk.sketch_file(tmp_path / "g.fna")
+        oracle = orp.sketch_genome(
+            [seq.tobytes()], ksize=21, scaled=20, seed=123, hv_d=512,
+            method="mmhash",
+        )
+        np.testing.assert_array_equal(fs.decompress(), oracle["hv"])
+
+
+class TestCliFlows:
+    def _mk_dataset(self, tmp_path, n=4, length=4000):
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        base = None
+        for i in range(n):
+            base = _write_genome(
+                tmp_path / f"g{i}.fna", length, seed=100 + i,
+                mutate_from=base if i else None, mut_rate=0.02,
+            )
+        return tmp_path
+
+    def test_sketch_dist_cli(self, tmp_path):
+        data = self._mk_dataset(tmp_path / "data")
+        out_sketch = tmp_path / "db.sketch"
+        cli_main([
+            "sketch", "-p", str(data), "-o", str(out_sketch),
+            "-s", "30", "-d", "1024",
+        ])
+        sketches = load_sketch(out_sketch)
+        assert len(sketches) == 4
+        assert sketches[0].hv_d == 1024
+
+        out_tsv = tmp_path / "ani.tsv"
+        cli_main([
+            "dist", "-r", str(out_sketch), "-q", str(out_sketch),
+            "-o", str(out_tsv), "-a", "50.0",
+        ])
+        rows = [l.split("\t") for l in out_tsv.read_text().splitlines()]
+        assert rows, "mutated genomes should pass a 50% threshold"
+        anis = [float(r[2]) for r in rows]
+        assert anis == sorted(anis, reverse=True)
+        # symmetric: n(n-1)/2 pairs max
+        assert len(rows) <= 6
+
+    def test_dist_matches_oracle_tsv(self, tmp_path):
+        data = self._mk_dataset(tmp_path / "data", n=3)
+        out_sketch = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out_sketch),
+                  "-s", "30", "-d", "1024"])
+        out_tsv = tmp_path / "ani.tsv"
+        cli_main(["dist", "-r", str(out_sketch), "-q", str(out_sketch),
+                  "-o", str(out_tsv), "-a", "0.0"])
+
+        # oracle recomputation of every pair from decompressed HVs
+        db = sketches_to_db(load_sketch(out_sketch))
+        exp_rows = {}
+        for i in range(3):
+            for j in range(i + 1, 3):
+                ani = orp.compute_pairwise_ani(
+                    db.hvs[i], int(db.norms[i]), db.hvs[j], int(db.norms[j]), 21
+                )
+                exp_rows[(db.names[i], db.names[j])] = f"{ani:.3f}"
+        got = {}
+        for line in out_tsv.read_text().splitlines():
+            r, q, a = line.split("\t")
+            got[(r, q)] = a
+        assert got == exp_rows
+
+    def test_search_cli(self, tmp_path):
+        data = self._mk_dataset(tmp_path / "data", n=4)
+        out_sketch = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out_sketch),
+                  "-s", "30", "-d", "1024"])
+        out_tsv = tmp_path / "hits.tsv"
+        cli_main(["search", "-r", str(out_sketch), "-q", str(out_sketch),
+                  "-o", str(out_tsv), "-a", "50.0", "--top_k", "2"])
+        lines = out_tsv.read_text().splitlines()
+        assert lines
+        # self-hit must rank first with ANI 100
+        first = lines[0].split("\t")
+        assert first[0] == first[1]
+        assert float(first[2]) == pytest.approx(100.0)
+
+    def test_sketch_hgdb_output(self, tmp_path):
+        data = self._mk_dataset(tmp_path / "data", n=3)
+        out_db = tmp_path / "db.hgdb"
+        cli_main(["sketch", "-p", str(data), "-o", str(out_db),
+                  "-s", "30", "-d", "1024", "--shards", "2"])
+        from hypergen_tpu.io.sketch_db import load_sharded_db
+
+        db = load_sharded_db(out_db)
+        assert db.hvs.shape == (3, 1024)
+        out_tsv = tmp_path / "ani.tsv"
+        cli_main(["dist", "-r", str(out_db), "-q", str(out_db),
+                  "-o", str(out_tsv), "-a", "50.0"])
+        assert out_tsv.exists()
+
+
+class TestHostAniMap:
+    def test_host_map_matches_oracle_exactly(self):
+        r = np.random.default_rng(0)
+        dots = r.integers(-(1 << 20), 1 << 20, size=50).astype(np.int32)
+        nr = r.integers(1, 1 << 20, size=50).astype(np.int32)
+        nq = r.integers(1, 1 << 20, size=50).astype(np.int32)
+        full = ani_f32_host(dots[:, None], nr, nq[:1], 21)
+        for i in range(50):
+            exp = orp.ani_from_dot(int(dots[i]), int(nr[i]), int(nq[0]), 21)
+            assert float(full[i, 0]) == exp  # bit-identical f32
