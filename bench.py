@@ -26,7 +26,7 @@ REF_EST_GENOMES_PER_SEC = 50.0
 
 GENOME_BP = 4_000_000
 N_GENOMES = 24
-SKETCH_REPEATS = 2
+SKETCH_REPEATS = 3
 
 ANI_DB = 4096
 ANI_QUERIES = 2048
@@ -39,7 +39,8 @@ def bench_sketch():
     from hypergen_tpu.params import SketchParams
 
     params = SketchParams()  # k=21, scaled=1500, D=4096, t1ha2
-    sketcher = Sketcher(params, chunk_positions=1 << 17)
+    B = 8
+    sketcher = Sketcher(params, chunk_positions=1 << 17, batch=B)
     rng = np.random.default_rng(0)
     genomes = [
         rng.integers(0, 4, size=GENOME_BP, dtype=np.uint8)
@@ -47,14 +48,22 @@ def bench_sketch():
     ]
 
     # warmup: compile the bucket
-    sketcher.sketch_codes(genomes[0])
+    sketcher.collect_batch(sketcher.submit_batch(genomes[:B]))
+
+    import collections
 
     t0 = time.monotonic()
     n_hashes = 0
+    window = collections.deque()
     for _ in range(SKETCH_REPEATS):
-        for g in genomes:
-            res = sketcher.sketch_codes(g)
-            n_hashes += res["n_hashes"]
+        for j in range(0, N_GENOMES, B):
+            window.append(sketcher.submit_batch(genomes[j : j + B]))
+            if len(window) >= 3:
+                for r in sketcher.collect_batch(window.popleft()):
+                    n_hashes += r["n_hashes"]
+    while window:
+        for r in sketcher.collect_batch(window.popleft()):
+            n_hashes += r["n_hashes"]
     dt = time.monotonic() - t0
     n = N_GENOMES * SKETCH_REPEATS
     return {
@@ -96,6 +105,9 @@ def bench_ani():
 def main():
     import jax
 
+    from hypergen_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     backend = jax.default_backend()
     sk = bench_sketch()
     an = bench_ani()

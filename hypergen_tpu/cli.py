@@ -183,7 +183,10 @@ def run_search(args) -> None:
 
 
 def main(argv=None) -> None:
+    from hypergen_tpu.utils.jaxcache import enable_compilation_cache
+
     setup_logging()
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.mode == P.CMD_SKETCH:
         run_sketch(args)

@@ -1,15 +1,16 @@
 """The flagship model: genome base codes -> sketch hypervector, fully on device.
 
-Pipeline (one jit-compiled step per chunk-count bucket):
+Pipeline (one jit-compiled step per (batch, chunk-count) bucket):
 
-  chunks [nc, C+k-1] u8
-    -> canonical k-mer hash + FracMinHash threshold  (ops.kmers, VPU)
-    -> per-chunk exact compaction                    (ops.compact)
-    -> global sort + unique (HashSet-equivalent dedup on device;
+  packed 2-bit bases + validity bitmask  [B, ...]   (3.2x smaller H2D)
+    -> on-device unpack to base codes
+    -> fused canonical k-mer hash + FracMinHash     (Pallas rolling kernel on
+       TPU, ops.kmers XLA fallback elsewhere)
+    -> scatter-free masked-max survivor extraction  (ops.compact.block_extract)
+    -> per-genome sort + unique (HashSet-equivalent dedup on device;
        sentinel U64_MAX marks empty slots — it can never be a survivor
        because the keep test is strict `h < threshold`)
-    -> compaction to the encode buffer
-    -> wyrng-expand + bundle HV encode               (ops.encode)
+    -> wyrng-expand + bundle HV encode              (ops.encode)
     -> i16 wrap + L2 norm^2
 
 This replaces the reference's per-file rayon loop + HashSet
@@ -19,46 +20,80 @@ XLA program. Capacity overflows are *detected* (true counts returned) and
 retried with doubled capacity — never silently dropped (unlike
 reference:src/cuda_kernel.cu:316).
 
-Host-side, genomes are bucketed by chunk count (powers of two) so the number
-of distinct compiled programs stays logarithmic in genome length.
+Batching many genomes per dispatch amortizes launch overhead; host-side
+packing and FASTA parsing run in a thread pool overlapped with device work.
+Genomes are bucketed by chunk count (powers of two) so the number of
+distinct compiled programs stays logarithmic in genome length.
 """
 
 from __future__ import annotations
 
+import collections
 import functools
 import logging
-from pathlib import Path
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hypergen_tpu.io.bitpack import compress_hv
 from hypergen_tpu.io.fastx import INVALID, read_genome_codes
 from hypergen_tpu.io.sketch_db import FileSketch
 from hypergen_tpu.ops import u64 as u
-from hypergen_tpu.ops.compact import compact_masked
+from hypergen_tpu.ops.compact import block_extract, compact_masked
 from hypergen_tpu.ops.encode import encode_hv, hv_norm2_i32, hv_to_i16
 from hypergen_tpu.ops.kmers import hash_kmer_positions
 from hypergen_tpu.ops.u64 import U64
-from hypergen_tpu.params import U64_MASK, SketchParams
+from hypergen_tpu.params import SketchParams
 
 log = logging.getLogger("hypergen")
 
+_SENT = np.uint32(0xFFFFFFFF)
 
-def _dedup_sorted(h: U64) -> Tuple[U64, jnp.ndarray]:
-    """Sort a flat U64 vector and mask first occurrences (excluding sentinel)."""
-    hi_s, lo_s = jax.lax.sort((h.hi, h.lo), num_keys=2)
-    sentinel = np.uint32(0xFFFFFFFF)
-    prev_hi = jnp.concatenate([jnp.full((1,), sentinel), hi_s[:-1]])
-    prev_lo = jnp.concatenate([jnp.full((1,), sentinel), lo_s[:-1]])
-    is_sentinel = (hi_s == sentinel) & (lo_s == sentinel)
+
+def pack_codes(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side 2-bit base + validity bitmask packing (3.2x H2D reduction).
+
+    codes: uint8 [L] with 0..3 = base, >=4 = invalid. Returns
+    (packed2 [padded_len/4] u8, packedv [padded_len/8] u8); padding is
+    invalid. padded_len must be a multiple of 8.
+    """
+    L = codes.shape[0]
+    base = np.zeros(padded_len, dtype=np.uint8)
+    valid = np.zeros(padded_len, dtype=np.uint8)
+    n = min(L, padded_len)
+    base[:n] = codes[:n] & 3
+    valid[:n] = codes[:n] < INVALID
+    b4 = base.reshape(-1, 4)
+    packed2 = b4[:, 0] | (b4[:, 1] << 2) | (b4[:, 2] << 4) | (b4[:, 3] << 6)
+    packedv = np.packbits(valid, bitorder="little")
+    return packed2, packedv
+
+
+def _unpack_codes(packed2: jnp.ndarray, packedv: jnp.ndarray) -> jnp.ndarray:
+    """Device-side unpack: [..., L/4] + [..., L/8] u8 -> [..., L] codes."""
+    shifts2 = np.arange(4, dtype=np.uint8) * 2
+    b = (packed2[..., None] >> shifts2) & np.uint8(3)
+    b = b.reshape(b.shape[:-2] + (-1,))
+    shiftsv = np.arange(8, dtype=np.uint8)
+    v = (packedv[..., None] >> shiftsv) & np.uint8(1)
+    v = v.reshape(v.shape[:-2] + (-1,))
+    return jnp.where(v > 0, b, np.uint8(INVALID))
+
+
+def _dedup_sorted_batched(h: U64) -> Tuple[U64, jnp.ndarray]:
+    """Row-wise sort of [B, N] U64 and first-occurrence mask (no sentinel)."""
+    hi_s, lo_s = jax.lax.sort((h.hi, h.lo), dimension=-1, num_keys=2)
+    prev_hi = jnp.concatenate(
+        [jnp.full(hi_s.shape[:-1] + (1,), _SENT), hi_s[..., :-1]], axis=-1
+    )
+    prev_lo = jnp.concatenate(
+        [jnp.full(lo_s.shape[:-1] + (1,), _SENT), lo_s[..., :-1]], axis=-1
+    )
+    is_sent = (hi_s == _SENT) & (lo_s == _SENT)
     differs = (hi_s != prev_hi) | (lo_s != prev_lo)
-    # position 0 is unique unless it's the sentinel; prev filled with sentinel
-    # makes `differs` true there automatically (a real hash != sentinel).
-    unique = differs & ~is_sentinel
-    return U64(hi_s, lo_s), unique
+    return U64(hi_s, lo_s), differs & ~is_sent
 
 
 def make_sketch_step(
@@ -66,47 +101,82 @@ def make_sketch_step(
     seed: int,
     threshold: int,
     hv_d: int,
+    batch: int,
+    n_chunks: int,
+    chunk_positions: int,
     chunk_cap: int,
     enc_cap: int,
     canonical: bool = True,
     method: str = "t1ha2",
     encode_block: int = 256,
+    extract_block: int = 512,
+    use_pallas: bool = True,
     jit_compile: bool = True,
 ):
-    """Build the chunk-batch -> sketch step for one bucket shape."""
+    """Batched sketch step: B packed genomes -> B sketch HVs in one dispatch.
 
-    def step(chunks: jnp.ndarray):
-        # chunks: [nc, C + k - 1] uint8
-        h, keep = hash_kmer_positions(
-            chunks, ksize, seed=seed, threshold=threshold,
-            canonical=canonical, method=method,
+    Genome layout: each genome occupies L_ext = n_chunks*C + k - 1 padded
+    positions (invalid padding). chunk_cap = survivor slots per
+    extract_block positions (block path) or per chunk (scatter path when
+    extract_block == 0).
+    """
+    C = chunk_positions
+    k = ksize
+    L_ext = n_chunks * C + k - 1
+    L_pad = -(-L_ext // 8) * 8
+
+    def step(packed2: jnp.ndarray, packedv: jnp.ndarray):
+        # [B, L_pad/4], [B, L_pad/8] u8
+        codes = _unpack_codes(packed2, packedv)[:, :L_ext]  # [B, L_ext]
+        # chunk views with k-1 halos -> [B*nc, C + k - 1]
+        chunks = jnp.stack(
+            [codes[:, c * C : c * C + C + k - 1] for c in range(n_chunks)],
+            axis=1,
+        ).reshape(batch * n_chunks, C + k - 1)
+        if use_pallas:
+            from hypergen_tpu.ops.pallas.hash_kernel import hash_chunks_pallas
+
+            h, keep = hash_chunks_pallas(
+                chunks, k, seed, threshold, canonical=canonical, method=method
+            )
+        else:
+            h, keep = hash_kmer_positions(
+                chunks, k, seed=seed, threshold=threshold,
+                canonical=canonical, method=method,
+            )
+        h = U64(
+            h.hi.reshape(batch, n_chunks * C),
+            h.lo.reshape(batch, n_chunks * C),
         )
-        comp, counts = compact_masked(h, keep, chunk_cap)  # [nc, cap]
-        # empty slots -> sentinel U64_MAX so they sort to the end
-        nc = comp.lo.shape[0]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (nc, chunk_cap), 1)
-        filled = slot < counts[:, None]
-        sent = np.uint32(0xFFFFFFFF)
-        flat = U64(
-            jnp.where(filled, comp.hi, sent).reshape(-1),
-            jnp.where(filled, comp.lo, sent).reshape(-1),
-        )
-        sorted_h, unique = _dedup_sorted(flat)
-        enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)  # [enc_cap]
+        keep = keep.reshape(batch, n_chunks * C)
+        if extract_block:
+            flat, _, bc = block_extract(h, keep, extract_block, chunk_cap)
+            max_count = bc
+        else:
+            comp, counts = compact_masked(h, keep, chunk_cap)
+            slot = jax.lax.broadcasted_iota(
+                jnp.int32, (batch, chunk_cap), 1
+            )
+            filled = slot < counts[:, None]
+            flat = U64(
+                jnp.where(filled, comp.hi, _SENT),
+                jnp.where(filled, comp.lo, _SENT),
+            )
+            max_count = counts
+        sorted_h, unique = _dedup_sorted_batched(flat)
+        enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)  # [B, enc_cap]
         valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, enc_cap), 1)
-            < n_hashes[None, None]
+            jax.lax.broadcasted_iota(jnp.int32, (batch, enc_cap), 1)
+            < n_hashes[:, None]
         )
-        hv32 = encode_hv(
-            U64(enc.hi[None, :], enc.lo[None, :]), valid, hv_d, block=encode_block
-        )
-        hv16 = hv_to_i16(hv32)[0]
+        hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
+        hv16 = hv_to_i16(hv32)
         norm2 = hv_norm2_i32(hv16)
         return {
             "hv": hv16,
             "norm2": norm2,
             "n_hashes": n_hashes,
-            "chunk_counts": counts,
+            "max_count": max_count,
         }
 
     return jax.jit(step) if jit_compile else step
@@ -120,10 +190,11 @@ def _next_pow2(n: int) -> int:
 
 
 class Sketcher:
-    """Batched genome sketcher with bucketed jit compilation and exact retry.
+    """Batched, pipelined genome sketcher with bucketed jit compilation.
 
     Equivalent of the reference sketch orchestrator
-    (reference:src/sketch.rs:12-69) with the per-file hot loops on device.
+    (reference:src/sketch.rs:12-69) with the per-file hot loops on device
+    and host I/O overlapped in a thread pool.
     """
 
     def __init__(
@@ -131,15 +202,32 @@ class Sketcher:
         params: SketchParams,
         chunk_positions: int = 1 << 17,
         encode_block: int = 512,
+        batch: int = 4,
+        use_pallas: Optional[bool] = None,
     ):
         params.validate()
         self.params = params
         self.C = int(chunk_positions)
         self.encode_block = int(encode_block)
-        # expected survivors per chunk = C/scaled; cap with generous slack
-        self.chunk_cap = int(max(64, 6 * self.C // max(params.scaled, 1)))
+        self.batch = int(batch)
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and self.C % 1024 == 0
+            )
+        self.use_pallas = bool(use_pallas)
+        # scatter-free block extraction when survivor density is low enough
+        # for a few slots per 512-position block (production scaled)
+        if params.scaled >= 400 and self.C % 512 == 0:
+            self.extract_block = 512
+            self.chunk_cap = 8  # slots per block; overflow-checked
+        else:
+            self.extract_block = 0
+            self.chunk_cap = int(
+                max(256, 6 * self.C * 8 // max(params.scaled, 1))
+            )
         self._steps: Dict[Tuple, object] = {}
         self._enc_overflow_factor = 1
+        self._pack_pool = ThreadPoolExecutor(max_workers=min(self.batch, 8))
 
     # -- device step management ------------------------------------------
 
@@ -151,7 +239,15 @@ class Sketcher:
 
     def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None):
         p = self.params
-        cap = chunk_cap or self.chunk_cap
+        if chunk_cap:
+            cap = chunk_cap
+        elif self.extract_block:
+            cap = self.chunk_cap
+        else:  # scatter path: cap covers the whole genome's survivors
+            cap = max(
+                self.chunk_cap,
+                -(-6 * n_chunks * self.C // max(p.scaled, 1) // 256) * 256,
+            )
         key = (n_chunks, cap, self._enc_cap(n_chunks))
         if key not in self._steps:
             self._steps[key] = make_sketch_step(
@@ -159,81 +255,179 @@ class Sketcher:
                 seed=p.seed,
                 threshold=p.threshold,
                 hv_d=p.hv_d,
+                batch=self.batch,
+                n_chunks=n_chunks,
+                chunk_positions=self.C,
                 chunk_cap=cap,
                 enc_cap=key[2],
                 canonical=p.canonical,
                 method=p.sketch_method,
                 encode_block=self.encode_block,
+                extract_block=self.extract_block,
+                use_pallas=self.use_pallas,
             )
         return self._steps[key], cap, key[2]
 
-    def _chunk_codes(self, codes: np.ndarray, n_chunks: int) -> np.ndarray:
+    def _bucket(self, L: int) -> int:
+        n_pos = max(L - self.params.ksize + 1, 1)
+        return _next_pow2(-(-n_pos // self.C))
+
+    def _pack_batch(self, codes_list: List[np.ndarray], n_chunks: int):
         k = self.params.ksize
-        halo = k - 1
-        width = self.C + halo
-        out = np.full((n_chunks, width), INVALID, dtype=np.uint8)
-        L = codes.shape[0]
-        for c in range(n_chunks):
-            start = c * self.C
-            if start >= L:
-                break
-            end = min(start + width, L)
-            out[c, : end - start] = codes[start:end]
-        return out
+        L_ext = n_chunks * self.C + k - 1
+        L_pad = -(-L_ext // 8) * 8
+        p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
+        pv = np.zeros((self.batch, L_pad // 8), dtype=np.uint8)
+        if len(codes_list) > 1:  # numpy releases the GIL; pack in parallel
+            packed = list(
+                self._pack_pool.map(
+                    lambda c: pack_codes(c, L_pad), codes_list
+                )
+            )
+        else:
+            packed = [pack_codes(codes_list[0], L_pad)]
+        for i, (a, b) in enumerate(packed):
+            p2[i], pv[i] = a, b
+        return p2, pv
 
     # -- public API --------------------------------------------------------
 
-    def sketch_codes(self, codes: np.ndarray) -> Dict[str, object]:
-        """Sketch one genome given flat base codes. Returns hv/norm2/n_hashes."""
-        k = self.params.ksize
-        L = int(codes.shape[0])
-        n_pos = max(L - k + 1, 1)
-        n_chunks = _next_pow2(-(-n_pos // self.C))
-        chunks = self._chunk_codes(codes, n_chunks)
+    def submit_batch(self, codes_list: List[np.ndarray]):
+        """Dispatch up to `batch` same-bucket genomes in one device call."""
+        if not 1 <= len(codes_list) <= self.batch:
+            raise ValueError(f"batch size must be in [1, {self.batch}]")
+        n_chunks = max(self._bucket(c.shape[0]) for c in codes_list)
+        p2, pv = self._pack_batch(codes_list, n_chunks)
+        step, cap, enc_cap = self._get_step(n_chunks)
+        out = step(jnp.asarray(p2), jnp.asarray(pv))
+        return {
+            "out": out,
+            "codes_list": codes_list,
+            "n_chunks": n_chunks,
+            "cap": cap,
+            "enc_cap": enc_cap,
+        }
 
-        chunk_cap = self.chunk_cap
-        for attempt in range(6):
-            step, cap, enc_cap = self._get_step(n_chunks, chunk_cap)
-            out = jax.device_get(step(jnp.asarray(chunks)))
-            max_count = int(out["chunk_counts"].max()) if out["chunk_counts"].size else 0
-            n_hashes = int(out["n_hashes"])
-            if max_count <= cap and n_hashes <= enc_cap:
-                return {
-                    "hv": np.asarray(out["hv"]),
-                    "norm2": int(out["norm2"]),
-                    "n_hashes": n_hashes,
+    def collect_batch(self, handle) -> List[Dict[str, object]]:
+        """Realize a batch; retries exactly on capacity overflow (rare)."""
+        out = jax.device_get(handle["out"])
+        n = len(handle["codes_list"])
+        max_count = int(np.max(out["max_count"][:n])) if n else 0
+        n_hashes = out["n_hashes"][:n]
+        if max_count <= handle["cap"] and int(n_hashes.max(initial=0)) <= handle["enc_cap"]:
+            return [
+                {
+                    "hv": np.asarray(out["hv"][i]),
+                    "norm2": int(out["norm2"][i]),
+                    "n_hashes": int(n_hashes[i]),
                 }
-            # capacity overflow: retry exactly, never drop silently
-            if max_count > cap:
-                chunk_cap = cap * 2
-                log.warning("chunk cap overflow (%d > %d); retrying", max_count, cap)
-            if n_hashes > enc_cap:
+                for i in range(n)
+            ]
+        # grow capacity and recompute this batch synchronously
+        chunk_cap = handle["cap"]
+        for _ in range(6):
+            if max_count > chunk_cap:
+                log.warning(
+                    "survivor cap overflow (%d > %d); retrying",
+                    max_count, chunk_cap,
+                )
+                chunk_cap *= 2
+            if int(n_hashes.max(initial=0)) > handle["enc_cap"]:
+                log.warning(
+                    "encode cap overflow (%d > %d); retrying",
+                    int(n_hashes.max(initial=0)), handle["enc_cap"],
+                )
                 self._enc_overflow_factor *= 2
-                log.warning("encode cap overflow (%d > %d); retrying", n_hashes, enc_cap)
+            step, cap, enc_cap = self._get_step(handle["n_chunks"], chunk_cap)
+            p2, pv = self._pack_batch(handle["codes_list"], handle["n_chunks"])
+            out = jax.device_get(step(jnp.asarray(p2), jnp.asarray(pv)))
+            max_count = int(np.max(out["max_count"][:n]))
+            n_hashes = out["n_hashes"][:n]
+            if max_count <= cap and int(n_hashes.max(initial=0)) <= enc_cap:
+                return [
+                    {
+                        "hv": np.asarray(out["hv"][i]),
+                        "norm2": int(out["norm2"][i]),
+                        "n_hashes": int(n_hashes[i]),
+                    }
+                    for i in range(n)
+                ]
         raise RuntimeError("sketcher capacity retry limit exceeded")
 
-    def sketch_file(self, path) -> FileSketch:
-        codes = read_genome_codes(path)
-        res = self.sketch_codes(codes)
+    def submit(self, codes: np.ndarray):
+        return self.submit_batch([codes])
+
+    def collect(self, handle) -> Dict[str, object]:
+        return self.collect_batch(handle)[0]
+
+    def sketch_codes(self, codes: np.ndarray) -> Dict[str, object]:
+        """Sketch one genome given flat base codes (synchronous)."""
+        return self.collect(self.submit(codes))
+
+    def _to_filesketch(self, res: Dict[str, object], name: str) -> FileSketch:
         p = self.params
         if p.if_compressed:
             return FileSketch.from_dense(
-                res["hv"], res["norm2"], str(path), p.ksize, p.scaled,
+                res["hv"], res["norm2"], name, p.ksize, p.scaled,
                 p.canonical, p.seed,
             )
         return FileSketch(
             ksize=p.ksize, scaled=p.scaled, canonical=p.canonical, seed=p.seed,
             hv_d=p.hv_d, hv_quant_bits=16, hv_norm_2=res["norm2"],
-            file_str=str(path), hv=res["hv"],
+            file_str=name, hv=res["hv"],
         )
 
-    def sketch_files(self, paths: Sequence, progress: bool = True) -> List[FileSketch]:
+    def sketch_file(self, path) -> FileSketch:
+        codes = read_genome_codes(path)
+        return self._to_filesketch(self.sketch_codes(codes), str(path))
+
+    def sketch_files(
+        self,
+        paths: Sequence,
+        progress: bool = True,
+        pipeline_depth: int = 3,
+        io_threads: int = 0,
+    ) -> List[FileSketch]:
+        """Sketch many genomes: batched dispatches, pipelined, I/O threaded.
+
+        Genomes are grouped into same-bucket batches of `batch`; up to
+        `pipeline_depth` batches are in flight. Output order matches input
+        order (reference emits files in glob order,
+        reference:src/sketch.rs:19-32).
+        """
         from hypergen_tpu.utils.progress import ProgressBar
 
+        paths = list(paths)
         pb = ProgressBar(len(paths), enabled=progress)
-        out = []
-        for path in paths:
-            out.append(self.sketch_file(path))
-            pb.inc()
+        io_threads = io_threads or min(self.params.threads, 16)
+        results: Dict[int, FileSketch] = {}
+        window = collections.deque()
+
+        def drain_one():
+            idxs, handle = window.popleft()
+            for i, res in zip(idxs, self.collect_batch(handle)):
+                results[i] = self._to_filesketch(res, str(paths[i]))
+                pb.inc()
+
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            futs = list(enumerate(pool.map(read_genome_codes, paths)))
+            # group by bucket to batch same-shape genomes together
+            by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+            for i, codes in futs:
+                by_bucket.setdefault(self._bucket(codes.shape[0]), []).append(
+                    (i, codes)
+                )
+            for bucket in sorted(by_bucket):
+                items = by_bucket[bucket]
+                for j in range(0, len(items), self.batch):
+                    group = items[j : j + self.batch]
+                    idxs = [i for i, _ in group]
+                    window.append(
+                        (idxs, self.submit_batch([c for _, c in group]))
+                    )
+                    if len(window) >= pipeline_depth:
+                        drain_one()
+            while window:
+                drain_one()
         pb.finish()
-        return out
+        return [results[i] for i in range(len(paths))]

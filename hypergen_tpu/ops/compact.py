@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,3 +48,51 @@ def _scatter_last(out: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.n
     # build full index grids for leading axes
     lead = jnp.indices(idx.shape, dtype=jnp.int32)[:-1]
     return out.at[tuple(lead) + (idx,)].set(val, mode="drop")
+
+
+def block_extract(
+    h: U64, keep: jnp.ndarray, block: int, slots: int
+) -> Tuple[U64, jnp.ndarray, jnp.ndarray]:
+    """Scatter-free sparse compaction: masked-max slot extraction.
+
+    TPUs hate per-element scatters; FracMinHash survivors are sparse
+    (~1/scaled). Split positions into blocks of `block`; each block holds at
+    most `slots` survivors (with huge probability for block/scaled << slots —
+    verified via the returned counts, never assumed). The s-th survivor of a
+    block is extracted with a masked max-reduce — exactly one lane matches
+    rank s, so max() IS selection, and everything stays dense VPU work.
+
+    h, keep: [..., P] with P % block == 0. Returns
+      (out: U64 [..., nb*slots] — sentinel U64_MAX in empty slots,
+       block_counts: int32 [..., nb],
+       max_count: int32 [...] — caller checks <= slots for exactness).
+    """
+    P = keep.shape[-1]
+    if P % block != 0:
+        raise ValueError(f"positions {P} not a multiple of block {block}")
+    nb = P // block
+    lead = keep.shape[:-1]
+    keep_b = keep.reshape(lead + (nb, block))
+    hi_b = h.hi.reshape(lead + (nb, block))
+    lo_b = h.lo.reshape(lead + (nb, block))
+    rank = jnp.cumsum(keep_b.astype(jnp.int32), axis=-1)  # 1-based at survivors
+    counts = rank[..., -1]
+    outs_hi = []
+    outs_lo = []
+    for s in range(slots):
+        sel = keep_b & (rank == (s + 1))
+        outs_hi.append(jnp.max(jnp.where(sel, hi_b, 0), axis=-1))
+        outs_lo.append(jnp.max(jnp.where(sel, lo_b, 0), axis=-1))
+    out_hi = jnp.stack(outs_hi, axis=-1)  # [..., nb, slots]
+    out_lo = jnp.stack(outs_lo, axis=-1)
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, out_hi.shape, out_hi.ndim - 1)
+    empty = slot_idx >= counts[..., None]
+    sent = np.uint32(0xFFFFFFFF)
+    out_hi = jnp.where(empty, sent, out_hi)
+    out_lo = jnp.where(empty, sent, out_lo)
+    max_count = jnp.max(counts, axis=-1)
+    return (
+        U64(out_hi.reshape(lead + (nb * slots,)), out_lo.reshape(lead + (nb * slots,))),
+        counts,
+        max_count,
+    )
