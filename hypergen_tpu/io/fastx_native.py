@@ -1,0 +1,66 @@
+"""ctypes binding to the native FASTA parser (native/fastx.cpp).
+
+Auto-builds native/libfastx.so with `make` on first use when a toolchain is
+available; io.fastx falls back to the numpy parser if anything here fails.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger("hypergen")
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libfastx.so"
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:  # no toolchain / build failure -> fallback
+            raise ImportError(f"native fastx build failed: {e}")
+    lib = ctypes.CDLL(str(_SO_PATH))
+    lib.hg_read_genome_codes.restype = ctypes.c_longlong
+    lib.hg_read_genome_codes.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.hg_free.restype = None
+    lib.hg_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def read_genome_codes(path) -> np.ndarray:
+    """Parse a FASTA file to the flat code array (0..3 bases, 4 invalid)."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    errbuf = ctypes.create_string_buffer(256)
+    n = lib.hg_read_genome_codes(
+        str(path).encode(), ctypes.byref(out), errbuf, 256
+    )
+    if n < 0:
+        raise ValueError(f"{path}: {errbuf.value.decode()}")
+    try:
+        codes = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.hg_free(out)
+    return codes

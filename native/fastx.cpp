@@ -1,0 +1,155 @@
+// Native FASTA -> 2-bit base-code parser (runtime data-loader component).
+//
+// Equivalent role to the reference's needletail-based reader + GPU merged
+// reader (reference:src/fastx_reader.rs:6-29, reference:src/sketch.rs:76-95):
+// parses (optionally gzipped) FASTA, normalizes bases (case-insensitive
+// ACGT, U->T), maps everything else to the invalid code 4, and joins records
+// with a single invalid separator so k-mers never span records.
+//
+// Exposed via a C ABI for ctypes (no pybind11 dependency):
+//   hg_read_genome_codes(path, &buf, errbuf, errlen) -> n_codes or -1
+//   hg_free(buf)
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC fastx.cpp -lz)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t INVALID = 4;
+constexpr size_t CHUNK = 1 << 20;
+
+struct CodeTable {
+  uint8_t map[256];
+  CodeTable() {
+    for (int i = 0; i < 256; i++) map[i] = INVALID;
+    map['A'] = map['a'] = 0;
+    map['C'] = map['c'] = 1;
+    map['G'] = map['g'] = 2;
+    map['T'] = map['t'] = 3;
+    map['U'] = map['u'] = 3;  // uridine normalizes to thymine
+  }
+};
+const CodeTable kTable;
+
+struct Buf {
+  uint8_t* data = nullptr;
+  size_t len = 0;
+  size_t cap = 0;
+  bool push(uint8_t c) {
+    if (len == cap) {
+      size_t ncap = cap ? cap * 2 : (1 << 22);
+      uint8_t* nd = static_cast<uint8_t*>(realloc(data, ncap));
+      if (!nd) return false;
+      data = nd;
+      cap = ncap;
+    }
+    data[len++] = c;
+    return true;
+  }
+  bool reserve(size_t extra) {
+    if (len + extra <= cap) return true;
+    size_t ncap = cap ? cap : (1 << 22);
+    while (ncap < len + extra) ncap *= 2;
+    uint8_t* nd = static_cast<uint8_t*>(realloc(data, ncap));
+    if (!nd) return false;
+    data = nd;
+    cap = ncap;
+    return true;
+  }
+};
+
+void set_err(char* errbuf, int errlen, const char* msg) {
+  if (errbuf && errlen > 0) {
+    snprintf(errbuf, static_cast<size_t>(errlen), "%s", msg);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a FASTA file into a malloc'd code array. Returns the number of
+// codes, or -1 on error (message in errbuf). Caller frees with hg_free.
+long long hg_read_genome_codes(const char* path, uint8_t** out,
+                               char* errbuf, int errlen) {
+  *out = nullptr;
+  gzFile f = gzopen(path, "rb");  // transparently handles plain + gzip
+  if (!f) {
+    set_err(errbuf, errlen, "cannot open file");
+    return -1;
+  }
+  gzbuffer(f, 1 << 20);
+
+  Buf buf;
+  uint8_t* chunk = static_cast<uint8_t*>(malloc(CHUNK));
+  if (!chunk) {
+    gzclose(f);
+    set_err(errbuf, errlen, "out of memory");
+    return -1;
+  }
+
+  bool in_header = false;
+  bool at_line_start = true;
+  long long n_records = 0;
+  bool ok = true;
+  const char* err = nullptr;
+
+  int n;
+  while (ok && (n = gzread(f, chunk, CHUNK)) > 0) {
+    if (!buf.reserve(static_cast<size_t>(n) + 1)) {
+      ok = false;
+      err = "out of memory";
+      break;
+    }
+    for (int i = 0; i < n; i++) {
+      uint8_t c = chunk[i];
+      if (c == '\n') {
+        in_header = false;
+        at_line_start = true;
+        continue;
+      }
+      if (c == '\r') continue;
+      if (at_line_start && c == '>') {
+        if (n_records > 0) buf.data[buf.len++] = INVALID;  // record separator
+        n_records++;
+        in_header = true;
+        at_line_start = false;
+        continue;
+      }
+      at_line_start = false;
+      if (in_header) continue;
+      if (n_records == 0) {
+        ok = false;
+        err = "sequence data before FASTA header";
+        break;
+      }
+      buf.data[buf.len++] = kTable.map[c];
+    }
+  }
+  if (ok && n < 0) {
+    ok = false;
+    err = "read/decompress error";
+  }
+  if (ok && n_records == 0) {
+    ok = false;
+    err = "no FASTA records found";
+  }
+  free(chunk);
+  gzclose(f);
+  if (!ok) {
+    free(buf.data);
+    set_err(errbuf, errlen, err ? err : "parse error");
+    return -1;
+  }
+  *out = buf.data;
+  return static_cast<long long>(buf.len);
+}
+
+void hg_free(uint8_t* p) { free(p); }
+
+}  // extern "C"
