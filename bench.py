@@ -5,10 +5,17 @@ Prints ONE JSON line:
 
 Workload (BASELINE.json operating point): k=21, scaled=1500, D=4096,
 synthetic bacterial-scale genomes (4 Mbp). The sketch measurement covers the
-full device pipeline per genome (H2D transfer of base codes, k-mer hashing,
-FracMinHash, dedup, HDC encode, D2H of the HV) plus host compression —
-i.e. everything after FASTA parsing. The ANI measurement times exact-int32
-HV dot products + ANI map for a query-vs-DB block.
+full production path per genome: host 2-bit packing, H2D transfer, k-mer
+hashing, FracMinHash, dedup, HDC encode, D2H of the HV. Every repetition
+uses DISTINCT genomes — the TPU relay in this environment caches
+(executable, inputs) -> result, so repeated inputs would lie.
+
+ANI is measured in the two production shapes:
+  - search mode (the BASELINE north star): reference DB resident on device,
+    distinct query batches streamed, ANI + top-k computed on device, only
+    [n_queries, k] results fetched;
+  - table mode (`dist`): full int32 dot tiles fetched and mapped to ANI on
+    host (the byte-parity TSV path).
 
 vs_baseline: the reference publishes no absolute numbers (BASELINE.md);
 we normalize against REF_EST_GENOMES_PER_SEC = 50.0, an order-of-magnitude
@@ -25,47 +32,47 @@ import numpy as np
 REF_EST_GENOMES_PER_SEC = 50.0
 
 GENOME_BP = 4_000_000
-N_GENOMES = 24
+SKETCH_BATCH = 32
 SKETCH_REPEATS = 3
 
 ANI_DB = 4096
 ANI_QUERIES = 2048
+ANI_REPEATS = 3
+ANI_TOPK = 10
 
 
 def bench_sketch():
-    import jax
-
     from hypergen_tpu.models.sketcher import Sketcher
     from hypergen_tpu.params import SketchParams
 
     params = SketchParams()  # k=21, scaled=1500, D=4096, t1ha2
-    B = 8
+    B = SKETCH_BATCH
     sketcher = Sketcher(params, chunk_positions=1 << 17, batch=B)
     rng = np.random.default_rng(0)
-    genomes = [
-        rng.integers(0, 4, size=GENOME_BP, dtype=np.uint8)
-        for _ in range(N_GENOMES)
-    ]
+
+    def fresh_batch():
+        return [
+            rng.integers(0, 4, size=GENOME_BP, dtype=np.uint8)
+            for _ in range(B)
+        ]
 
     # warmup: compile the bucket
-    sketcher.collect_batch(sketcher.submit_batch(genomes[:B]))
+    sketcher.collect_batch(sketcher.submit_batch(fresh_batch()))
 
-    import collections
-
+    batches = [fresh_batch() for _ in range(SKETCH_REPEATS)]
     t0 = time.monotonic()
     n_hashes = 0
-    window = collections.deque()
-    for _ in range(SKETCH_REPEATS):
-        for j in range(0, N_GENOMES, B):
-            window.append(sketcher.submit_batch(genomes[j : j + B]))
-            if len(window) >= 3:
-                for r in sketcher.collect_batch(window.popleft()):
-                    n_hashes += r["n_hashes"]
-    while window:
-        for r in sketcher.collect_batch(window.popleft()):
-            n_hashes += r["n_hashes"]
+    pending = None
+    for genomes in batches:  # window-2 pipeline: overlap host pack with device
+        handle = sketcher.submit_batch(genomes)
+        if pending is not None:
+            for r in sketcher.collect_batch(pending):
+                n_hashes += r["n_hashes"]
+        pending = handle
+    for r in sketcher.collect_batch(pending):
+        n_hashes += r["n_hashes"]
     dt = time.monotonic() - t0
-    n = N_GENOMES * SKETCH_REPEATS
+    n = B * SKETCH_REPEATS
     return {
         "genomes_per_sec": n / dt,
         "bp_per_sec": n * GENOME_BP / dt,
@@ -79,27 +86,52 @@ def bench_ani():
     import jax.numpy as jnp
 
     from hypergen_tpu.models.comparator import Comparator, ani_f32_host
+    from hypergen_tpu.ops.ani import ani_topk
 
     rng = np.random.default_rng(1)
     db = rng.integers(-80, 80, size=(ANI_DB, 4096)).astype(np.int16)
-    q = rng.integers(-80, 80, size=(ANI_QUERIES, 4096)).astype(np.int16)
     dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
-    qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
 
-    comp = Comparator(ksize=21, tile_m=ANI_DB, tile_n=ANI_QUERIES)
-    # warmup
-    for _, _, tile in comp.dot_tiles(db, q):
-        pass
+    def fresh_q():
+        q = rng.integers(-80, 80, size=(ANI_QUERIES, 4096)).astype(np.int16)
+        qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
+        return q, qn
 
+    # --- search mode: DB resident, top-k on device, tiny D2H ---------------
+    db_dev = jax.device_put(db)
+    dbn_dev = jax.device_put(dbn)
+    q0, qn0 = fresh_q()
+    jax.block_until_ready(
+        ani_topk(db_dev, dbn_dev, jnp.asarray(q0), jnp.asarray(qn0), 21, ANI_TOPK)
+    )
+    queries = [fresh_q() for _ in range(ANI_REPEATS)]
     t0 = time.monotonic()
-    reps = 5
-    for _ in range(reps):
-        for mi, nj, tile in comp.dot_tiles(db, q):
+    for q, qn in queries:
+        vals, idx = ani_topk(
+            db_dev, dbn_dev, jnp.asarray(q), jnp.asarray(qn), 21, ANI_TOPK
+        )
+        np.asarray(vals), np.asarray(idx)
+    dt_search = time.monotonic() - t0
+    search_pairs = ANI_DB * ANI_QUERIES * ANI_REPEATS / dt_search
+
+    # --- table mode: full dot tiles D2H + host float map (dist TSV path) ---
+    comp = Comparator(ksize=21, tile_m=ANI_DB, tile_n=ANI_QUERIES)
+    db_blocks = comp.preload_rows(db)
+    q0, qn0 = fresh_q()
+    for mi, nj, tile in comp.dot_tiles(db, q0, r_blocks=db_blocks):
+        ani_f32_host(tile, dbn[mi : mi + tile.shape[0]],
+                     qn0[nj : nj + tile.shape[1]], 21)
+    t0 = time.monotonic()
+    for q, qn in queries:
+        for mi, nj, tile in comp.dot_tiles(db, q, r_blocks=db_blocks):
             ani_f32_host(tile, dbn[mi : mi + tile.shape[0]],
                          qn[nj : nj + tile.shape[1]], 21)
-    dt = time.monotonic() - t0
-    pairs = ANI_DB * ANI_QUERIES * reps
-    return {"ani_pairs_per_sec": pairs / dt, "ani_wall_s": dt}
+    dt_table = time.monotonic() - t0
+    table_pairs = ANI_DB * ANI_QUERIES * ANI_REPEATS / dt_table
+    return {
+        "search_pairs_per_sec": search_pairs,
+        "table_pairs_per_sec": table_pairs,
+    }
 
 
 def main():
@@ -121,7 +153,8 @@ def main():
             "backend": backend,
             "bp_per_sec": round(sk["bp_per_sec"], 0),
             "mean_hashes_per_genome": round(sk["mean_hashes_per_genome"], 1),
-            "ani_pairs_per_sec": round(an["ani_pairs_per_sec"], 0),
+            "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
+            "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),
         },
     }
     print(json.dumps(out))

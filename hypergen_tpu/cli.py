@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
             dp.add_argument("--top_k", type=int, default=10,
                             help="hits reported per query")
         _add_common(dp)
+
+    hp = sub.add_parser(
+        "hist",
+        help="print value\\tcount histogram of all HV entries in a sketch "
+             "(debug utility, reference:src/utils.rs:312-337)",
+    )
+    hp.add_argument("-r", "--path_r", type=Path, required=True,
+                    help="sketch file to histogram")
     return ap
 
 
@@ -182,6 +190,18 @@ def run_search(args) -> None:
     run_search_cli(args, _load_db)
 
 
+def run_hist(args) -> None:
+    from hypergen_tpu.io.sketch_db import hv_value_histogram, load_sketch
+
+    try:
+        for value, count in sorted(
+            hv_value_histogram(load_sketch(args.path_r)).items()
+        ):
+            print(f"{value}\t{count}")
+    except BrokenPipeError:  # downstream `head` etc. closed the pipe
+        sys.stderr.close()
+
+
 def main(argv=None) -> None:
     from hypergen_tpu.utils.jaxcache import enable_compilation_cache
 
@@ -194,6 +214,8 @@ def main(argv=None) -> None:
         run_dist(args)
     elif args.mode == P.CMD_SEARCH:
         run_search(args)
+    elif args.mode == "hist":
+        run_hist(args)
 
 
 if __name__ == "__main__":

@@ -223,3 +223,18 @@ def sketches_to_db(sketches: List[FileSketch]) -> ShardedDB:
         hvs=hvs,
         norms=np.array([s.hv_norm_2 for s in sketches], dtype=np.int32),
     )
+
+
+def hv_value_histogram(sketches: List[FileSketch]) -> dict:
+    """value -> count histogram over all decompressed HV entries.
+
+    Debug/analysis utility mirroring the reference's distribution dump
+    (reference:src/utils.rs:312-337); used to eyeball the HV entry
+    distribution when tuning quantization bit-widths.
+    """
+    hist: dict = {}
+    for s in sketches:
+        vals, counts = np.unique(s.decompress(), return_counts=True)
+        for v, c in zip(vals.tolist(), counts.tolist()):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+    return hist

@@ -31,14 +31,15 @@ def ani_f32_host(dot: np.ndarray, norm2_r: np.ndarray, norm2_q: np.ndarray, ksiz
     NaN -> 0; clamp to [0,1]; *100.
     """
     dot_f = dot.astype(np.float32)
-    denom_i = (
-        norm2_r[:, None].astype(np.int64)
-        + norm2_q[None, :].astype(np.int64)
-        - dot.astype(np.int64)
-    )
-    # the reference computes the denominator in wrapping i32
-    denom_i = ((denom_i + (1 << 31)) % (1 << 32)) - (1 << 31)
-    denom = denom_i.astype(np.int32).astype(np.float32)
+    # the reference computes the denominator in wrapping i32; numpy int32
+    # arithmetic wraps identically (modular), no widening needed
+    with np.errstate(over="ignore"):
+        denom_i = (
+            norm2_r[:, None].astype(np.int32)
+            + norm2_q[None, :].astype(np.int32)
+            - dot.astype(np.int32)
+        )
+    denom = denom_i.astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         jaccard = dot_f / denom
         inner = np.float32(2.0) / (np.float32(1.0) / jaccard + np.float32(1.0))
@@ -63,15 +64,36 @@ class Comparator:
             lambda r, q: dot_i16_exact(r, q, use_mxu=self.use_mxu)
         )
 
+    def preload_rows(self, hv: np.ndarray) -> List:
+        """Upload row tiles once; reuse across many dot_tiles calls.
+
+        Keeping the reference DB resident on device is the search-engine
+        pattern: per query batch only the queries cross H2D.
+        """
+        tm = self.tile_m
+        return [
+            jnp.asarray(_pad_rows(hv[mi : mi + tm], tm))
+            for mi in range(0, hv.shape[0], tm)
+        ]
+
     def dot_tiles(
-        self, r_hv: np.ndarray, q_hv: np.ndarray
+        self,
+        r_hv: np.ndarray,
+        q_hv: np.ndarray,
+        r_blocks: List | None = None,
     ) -> Iterator[Tuple[int, int, np.ndarray]]:
-        """Yield (row_offset, col_offset, int32 dot tile)."""
+        """Yield (row_offset, col_offset, int32 dot tile).
+
+        r_blocks: optional device-resident row tiles from preload_rows
+        (skips re-uploading the reference side every call).
+        """
         M, N = r_hv.shape[0], q_hv.shape[0]
         tm, tn = self.tile_m, self.tile_n
-        for mi in range(0, M, tm):
-            r_blk = _pad_rows(r_hv[mi : mi + tm], tm)
-            r_dev = jnp.asarray(r_blk)
+        for bi, mi in enumerate(range(0, M, tm)):
+            if r_blocks is not None:
+                r_dev = r_blocks[bi]
+            else:
+                r_dev = jnp.asarray(_pad_rows(r_hv[mi : mi + tm], tm))
             for nj in range(0, N, tn):
                 q_blk = _pad_rows(q_hv[nj : nj + tn], tn)
                 tile = np.asarray(self._dot(r_dev, jnp.asarray(q_blk)))

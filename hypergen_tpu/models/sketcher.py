@@ -60,14 +60,17 @@ def pack_codes(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarr
     invalid. padded_len must be a multiple of 8.
     """
     L = codes.shape[0]
-    base = np.zeros(padded_len, dtype=np.uint8)
-    valid = np.zeros(padded_len, dtype=np.uint8)
     n = min(L, padded_len)
-    base[:n] = codes[:n] & 3
-    valid[:n] = codes[:n] < INVALID
-    b4 = base.reshape(-1, 4)
-    packed2 = b4[:, 0] | (b4[:, 1] << 2) | (b4[:, 2] << 4) | (b4[:, 3] << 6)
-    packedv = np.packbits(valid, bitorder="little")
+    buf = np.full(padded_len, INVALID, dtype=np.uint8)
+    buf[:n] = codes[:n]
+    # 2-bit pack via u32 words: byte i of word w holds code c_i; fold the
+    # four 2-bit fields into the low byte (c0 | c1<<2 | c2<<4 | c3<<6)
+    w = buf.view(np.uint32)
+    t = w & np.uint32(0x03030303)
+    t |= t >> np.uint32(6)
+    t |= t >> np.uint32(12)
+    packed2 = np.ascontiguousarray(t.view(np.uint8)[::4])
+    packedv = np.packbits(buf < INVALID, bitorder="little")
     return packed2, packedv
 
 
@@ -80,6 +83,77 @@ def _unpack_codes(packed2: jnp.ndarray, packedv: jnp.ndarray) -> jnp.ndarray:
     v = (packedv[..., None] >> shiftsv) & np.uint8(1)
     v = v.reshape(v.shape[:-2] + (-1,))
     return jnp.where(v > 0, b, np.uint8(INVALID))
+
+
+def find_invalid_runs(codes: np.ndarray, genome_len: int, padded_len: int) -> np.ndarray:
+    """Host: [R, 2] int32 (start, end) runs of invalid positions.
+
+    Invalid bases (N runs, record separators) are rare and clustered, so a
+    run list is hundreds of bytes where a dense validity bitmask is
+    padded_len/8 — the mask was ~1/3 of all H2D traffic through the chip
+    tunnel. Includes the tail padding run [genome_len, padded_len).
+    """
+    inv = codes[: min(genome_len, padded_len)] >= INVALID
+    flips = np.flatnonzero(np.diff(inv))
+    bounds = np.empty(flips.size + 2, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:-1] = flips + 1
+    bounds[-1] = inv.size
+    # segments alternate valid/invalid starting with inv[0]
+    first_inv = 0 if (inv.size and inv[0]) else 1
+    starts = bounds[first_inv:-1:2]
+    ends = bounds[first_inv + 1 :: 2]
+    runs = np.stack([starts, ends], axis=1).astype(np.int32)
+    if genome_len < padded_len:
+        if runs.size and runs[-1, 1] == genome_len:
+            runs[-1, 1] = padded_len  # merge with tail padding
+        else:
+            runs = np.concatenate(
+                [runs, np.array([[genome_len, padded_len]], np.int32)]
+            )
+    return runs
+
+
+def pack_codes_runs(
+    codes: np.ndarray, padded_len: int, run_cap: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host packing for the runs-validity step variant.
+
+    Returns (packed2 [padded_len/4] u8, runs [run_cap, 2] i32 zero-padded,
+    n_runs). n_runs > run_cap means the run list did not fit: caller must
+    fall back to the dense-mask variant (correctness is never traded).
+    """
+    L = codes.shape[0]
+    n = min(L, padded_len)
+    buf = np.full(padded_len, INVALID, dtype=np.uint8)
+    buf[:n] = codes[:n]
+    w = buf.view(np.uint32)
+    t = w & np.uint32(0x03030303)
+    t |= t >> np.uint32(6)
+    t |= t >> np.uint32(12)
+    packed2 = np.ascontiguousarray(t.view(np.uint8)[::4])
+    runs = find_invalid_runs(codes, n, padded_len)
+    n_runs = runs.shape[0]
+    out = np.zeros((run_cap, 2), dtype=np.int32)
+    out[: min(n_runs, run_cap)] = runs[:run_cap]
+    return packed2, out, n_runs
+
+
+def _valid_from_runs(runs: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Device: [B, R, 2] int32 invalid runs -> [B, length] bool valid mask.
+
+    +1/-1 deltas scattered at run starts/ends, prefix-summed: a position is
+    valid iff it is covered by zero runs. Zero-padded runs (start==end==0)
+    are no-ops.
+    """
+    B, R, _ = runs.shape
+    delta = jnp.zeros((B, length + 1), dtype=jnp.int32)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+    starts = jnp.clip(runs[:, :, 0], 0, length)
+    ends = jnp.clip(runs[:, :, 1], 0, length)
+    delta = delta.at[bidx, starts].add(1, mode="drop")
+    delta = delta.at[bidx, ends].add(-1, mode="drop")
+    return jnp.cumsum(delta[:, :length], axis=-1) == 0
 
 
 def _dedup_sorted_batched(h: U64) -> Tuple[U64, jnp.ndarray]:
@@ -112,6 +186,7 @@ def make_sketch_step(
     extract_block: int = 512,
     use_pallas: bool = True,
     jit_compile: bool = True,
+    validity: str = "mask",
 ):
     """Batched sketch step: B packed genomes -> B sketch HVs in one dispatch.
 
@@ -119,15 +194,25 @@ def make_sketch_step(
     positions (invalid padding). chunk_cap = survivor slots per
     extract_block positions (block path) or per chunk (scatter path when
     extract_block == 0).
+
+    validity: "mask" takes (packed2 [B, L/4] u8, packedv [B, L/8] u8);
+    "runs" takes (packed2, runs [B, R, 2] i32 invalid-run list) — 8x less
+    H2D for the validity side, the production default.
     """
     C = chunk_positions
     k = ksize
     L_ext = n_chunks * C + k - 1
     L_pad = -(-L_ext // 8) * 8
 
-    def step(packed2: jnp.ndarray, packedv: jnp.ndarray):
-        # [B, L_pad/4], [B, L_pad/8] u8
-        codes = _unpack_codes(packed2, packedv)[:, :L_ext]  # [B, L_ext]
+    def step(packed2: jnp.ndarray, validity_in: jnp.ndarray):
+        if validity == "runs":
+            shifts2 = np.arange(4, dtype=np.uint8) * 2
+            b = (packed2[..., None] >> shifts2) & np.uint8(3)
+            b = b.reshape(b.shape[:-2] + (-1,))
+            valid = _valid_from_runs(validity_in, L_pad)
+            codes = jnp.where(valid, b, np.uint8(INVALID))[:, :L_ext]
+        else:
+            codes = _unpack_codes(packed2, validity_in)[:, :L_ext]
         # chunk views with k-1 halos -> [B*nc, C + k - 1]
         chunks = jnp.stack(
             [codes[:, c * C : c * C + C + k - 1] for c in range(n_chunks)],
@@ -172,14 +257,33 @@ def make_sketch_step(
         hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
         hv16 = hv_to_i16(hv32)
         norm2 = hv_norm2_i32(hv16)
-        return {
-            "hv": hv16,
-            "norm2": norm2,
-            "n_hashes": n_hashes,
-            "max_count": max_count,
-        }
+        # single fused output [B, D+8] i16: every output buffer is a
+        # separate (expensive) D2H round trip through the TPU relay, so the
+        # meta ints ride along bitcast into the hv row tail
+        if max_count.ndim == 0:
+            max_count = jnp.broadcast_to(max_count, norm2.shape)
+        elif max_count.ndim > 1:  # per-block counts: reduce to per-genome
+            max_count = jnp.max(max_count, axis=-1)
+        meta = jnp.stack(
+            [norm2, n_hashes, max_count, jnp.zeros_like(norm2)], axis=-1
+        )
+        meta16 = jax.lax.bitcast_convert_type(meta, jnp.int16).reshape(
+            meta.shape[0], 8
+        )
+        return jnp.concatenate([hv16, meta16], axis=-1)
 
     return jax.jit(step) if jit_compile else step
+
+
+def split_step_output(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused [B, D+8] i16 step output -> (hv i16 [B, D], meta i32 [B, 4]).
+
+    meta columns: 0 norm2, 1 n_hashes, 2 max survivor count, 3 reserved.
+    """
+    out = np.asarray(out)
+    hv = out[:, :-8]
+    meta = np.ascontiguousarray(out[:, -8:]).view(np.int32)
+    return hv, meta
 
 
 def _next_pow2(n: int) -> int:
@@ -204,6 +308,7 @@ class Sketcher:
         encode_block: int = 512,
         batch: int = 4,
         use_pallas: Optional[bool] = None,
+        run_cap: int = 512,
     ):
         params.validate()
         self.params = params
@@ -225,6 +330,7 @@ class Sketcher:
             self.chunk_cap = int(
                 max(256, 6 * self.C * 8 // max(params.scaled, 1))
             )
+        self.run_cap = int(run_cap)
         self._steps: Dict[Tuple, object] = {}
         self._enc_overflow_factor = 1
         self._pack_pool = ThreadPoolExecutor(max_workers=min(self.batch, 8))
@@ -237,7 +343,8 @@ class Sketcher:
         cap *= self._enc_overflow_factor
         return int(-(-cap // 256) * 256)
 
-    def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None):
+    def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None,
+                  validity: str = "runs"):
         p = self.params
         if chunk_cap:
             cap = chunk_cap
@@ -248,7 +355,7 @@ class Sketcher:
                 self.chunk_cap,
                 -(-6 * n_chunks * self.C // max(p.scaled, 1) // 256) * 256,
             )
-        key = (n_chunks, cap, self._enc_cap(n_chunks))
+        key = (n_chunks, cap, self._enc_cap(n_chunks), validity)
         if key not in self._steps:
             self._steps[key] = make_sketch_step(
                 ksize=p.ksize,
@@ -265,6 +372,7 @@ class Sketcher:
                 encode_block=self.encode_block,
                 extract_block=self.extract_block,
                 use_pallas=self.use_pallas,
+                validity=validity,
             )
         return self._steps[key], cap, key[2]
 
@@ -273,22 +381,32 @@ class Sketcher:
         return _next_pow2(-(-n_pos // self.C))
 
     def _pack_batch(self, codes_list: List[np.ndarray], n_chunks: int):
+        """Pack genomes for the runs variant; falls back to the dense mask
+        when a genome's invalid-run list exceeds run_cap (never drops data).
+
+        Returns (validity_mode, packed2, validity_array).
+        """
         k = self.params.ksize
         L_ext = n_chunks * self.C + k - 1
         L_pad = -(-L_ext // 8) * 8
-        p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
-        pv = np.zeros((self.batch, L_pad // 8), dtype=np.uint8)
+        pack_one = lambda c: pack_codes_runs(c, L_pad, self.run_cap)
         if len(codes_list) > 1:  # numpy releases the GIL; pack in parallel
-            packed = list(
-                self._pack_pool.map(
-                    lambda c: pack_codes(c, L_pad), codes_list
-                )
-            )
+            packed = list(self._pack_pool.map(pack_one, codes_list))
         else:
-            packed = [pack_codes(codes_list[0], L_pad)]
-        for i, (a, b) in enumerate(packed):
-            p2[i], pv[i] = a, b
-        return p2, pv
+            packed = [pack_one(codes_list[0])]
+        if max(n for _, _, n in packed) > self.run_cap:
+            p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
+            pv = np.zeros((self.batch, L_pad // 8), dtype=np.uint8)
+            for i, c in enumerate(codes_list):
+                p2[i], pv[i] = pack_codes(c, L_pad)
+            return "mask", p2, pv
+        p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
+        runs = np.zeros((self.batch, self.run_cap, 2), dtype=np.int32)
+        # padding rows beyond the real batch: all-invalid
+        runs[:, 0, 1] = L_pad
+        for i, (a, r, _) in enumerate(packed):
+            p2[i], runs[i] = a, r
+        return "runs", p2, runs
 
     # -- public API --------------------------------------------------------
 
@@ -297,28 +415,29 @@ class Sketcher:
         if not 1 <= len(codes_list) <= self.batch:
             raise ValueError(f"batch size must be in [1, {self.batch}]")
         n_chunks = max(self._bucket(c.shape[0]) for c in codes_list)
-        p2, pv = self._pack_batch(codes_list, n_chunks)
-        step, cap, enc_cap = self._get_step(n_chunks)
-        out = step(jnp.asarray(p2), jnp.asarray(pv))
+        mode, p2, val = self._pack_batch(codes_list, n_chunks)
+        step, cap, enc_cap = self._get_step(n_chunks, validity=mode)
+        out = step(jnp.asarray(p2), jnp.asarray(val))
         return {
             "out": out,
             "codes_list": codes_list,
             "n_chunks": n_chunks,
             "cap": cap,
             "enc_cap": enc_cap,
+            "validity": mode,
         }
 
     def collect_batch(self, handle) -> List[Dict[str, object]]:
         """Realize a batch; retries exactly on capacity overflow (rare)."""
-        out = jax.device_get(handle["out"])
+        hv, meta = split_step_output(jax.device_get(handle["out"]))
         n = len(handle["codes_list"])
-        max_count = int(np.max(out["max_count"][:n])) if n else 0
-        n_hashes = out["n_hashes"][:n]
+        max_count = int(np.max(meta[:n, 2])) if n else 0
+        n_hashes = meta[:n, 1]
         if max_count <= handle["cap"] and int(n_hashes.max(initial=0)) <= handle["enc_cap"]:
             return [
                 {
-                    "hv": np.asarray(out["hv"][i]),
-                    "norm2": int(out["norm2"][i]),
+                    "hv": hv[i],
+                    "norm2": int(meta[i, 0]),
                     "n_hashes": int(n_hashes[i]),
                 }
                 for i in range(n)
@@ -338,16 +457,22 @@ class Sketcher:
                     int(n_hashes.max(initial=0)), handle["enc_cap"],
                 )
                 self._enc_overflow_factor *= 2
-            step, cap, enc_cap = self._get_step(handle["n_chunks"], chunk_cap)
-            p2, pv = self._pack_batch(handle["codes_list"], handle["n_chunks"])
-            out = jax.device_get(step(jnp.asarray(p2), jnp.asarray(pv)))
-            max_count = int(np.max(out["max_count"][:n]))
-            n_hashes = out["n_hashes"][:n]
+            mode, p2, val = self._pack_batch(
+                handle["codes_list"], handle["n_chunks"]
+            )
+            step, cap, enc_cap = self._get_step(
+                handle["n_chunks"], chunk_cap, validity=mode
+            )
+            hv, meta = split_step_output(
+                jax.device_get(step(jnp.asarray(p2), jnp.asarray(val)))
+            )
+            max_count = int(np.max(meta[:n, 2]))
+            n_hashes = meta[:n, 1]
             if max_count <= cap and int(n_hashes.max(initial=0)) <= enc_cap:
                 return [
                     {
-                        "hv": np.asarray(out["hv"][i]),
-                        "norm2": int(out["norm2"][i]),
+                        "hv": hv[i],
+                        "norm2": int(meta[i, 0]),
                         "n_hashes": int(n_hashes[i]),
                     }
                     for i in range(n)

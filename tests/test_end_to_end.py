@@ -202,3 +202,32 @@ class TestHostAniMap:
         for i in range(50):
             exp = orp.ani_from_dot(int(dots[i]), int(nr[i]), int(nq[0]), 21)
             assert float(full[i, 0]) == exp  # bit-identical f32
+
+class TestHistogram:
+    def test_hv_histogram_counts(self, tmp_path):
+        data = tmp_path / "data"
+        data.mkdir()
+        _write_genome(data / "g0.fna", 4000, seed=5)
+        out_sketch = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out_sketch),
+                  "-s", "30", "-d", "1024"])
+        from hypergen_tpu.io.sketch_db import hv_value_histogram
+
+        sketches = load_sketch(out_sketch)
+        hist = hv_value_histogram(sketches)
+        assert sum(hist.values()) == 1024
+        dense = sketches[0].decompress()
+        for v, c in hist.items():
+            assert int(np.sum(dense == v)) == c
+
+    def test_hist_cli(self, tmp_path, capsys):
+        data = tmp_path / "data"
+        data.mkdir()
+        _write_genome(data / "g0.fna", 4000, seed=6)
+        out_sketch = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out_sketch),
+                  "-s", "30", "-d", "1024"])
+        cli_main(["hist", "-r", str(out_sketch)])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines and all(len(l.split("\t")) == 2 for l in lines)
+        assert sum(int(l.split("\t")[1]) for l in lines) == 1024
