@@ -128,9 +128,37 @@ def bench_ani():
                          qn[nj : nj + tile.shape[1]], 21)
     dt_table = time.monotonic() - t0
     table_pairs = ANI_DB * ANI_QUERIES * ANI_REPEATS / dt_table
+
+    # --- dist mode @ production threshold: device filter+compact, survivors
+    # only cross D2H (the `dist -a 85` path) ------------------------------
+    from hypergen_tpu.io.sketch_db import ShardedDB
+
+    def as_db(hv, norms):
+        return ShardedDB(
+            ksize=21, scaled=1500, canonical=True, seed=123,
+            hv_d=hv.shape[1], names=[str(i) for i in range(hv.shape[0])],
+            hvs=hv, norms=norms,
+        )
+
+    ref_db = as_db(db, dbn)
+    ref_blocks = comp.preload_ref(ref_db)
+    q0, qn0 = fresh_q()
+    comp.ani_pairs_thresholded(
+        ref_db, as_db(q0, qn0), symmetric=False, threshold=85.0,
+        ref_blocks=ref_blocks,
+    )
+    t0 = time.monotonic()
+    for q, qn in queries:
+        comp.ani_pairs_thresholded(
+            ref_db, as_db(q, qn), symmetric=False, threshold=85.0,
+            ref_blocks=ref_blocks,
+        )
+    dt_dist = time.monotonic() - t0
+    dist_pairs = ANI_DB * ANI_QUERIES * ANI_REPEATS / dt_dist
     return {
         "search_pairs_per_sec": search_pairs,
         "table_pairs_per_sec": table_pairs,
+        "dist85_pairs_per_sec": dist_pairs,
     }
 
 
@@ -155,6 +183,7 @@ def main():
             "mean_hashes_per_genome": round(sk["mean_hashes_per_genome"], 1),
             "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
             "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),
+            "ani_dist85_pairs_per_sec": round(an["dist85_pairs_per_sec"], 0),
         },
     }
     print(json.dumps(out))

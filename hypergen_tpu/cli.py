@@ -172,12 +172,20 @@ def run_dist(args, top_k: int = 0) -> None:
     # ksize comes from the sketch file, not the CLI flag
     # (reference:src/dist.rs:26,50)
     comp = Comparator(ksize=ref_db.ksize)
-    ri, qi, ani = comp.ani_pairs(ref_db, query_db, symmetric=if_sym)
+    if args.ani_th >= 50.0:
+        # production thresholds: filter + compact on device, fetch only
+        # survivors (tiny D2H); rows are identical to the dense path
+        ri, qi, ani, n_total = comp.ani_pairs_thresholded(
+            ref_db, query_db, symmetric=if_sym, threshold=args.ani_th
+        )
+    else:
+        ri, qi, ani = comp.ani_pairs(ref_db, query_db, symmetric=if_sym)
+        n_total = len(ani)
     tsv, n_rep = format_ani_report(
         ref_db.names, query_db.names, ri, qi, ani, args.ani_th, top_k=top_k
     )
     Path(args.out).write_text(tsv)
-    report_sparsity(n_rep, len(ani), args.ani_th)
+    report_sparsity(n_rep, n_total, args.ani_th)
     log.info(
         "Computed ANIs for %d ref files and %d query files took %.3fs",
         len(ref_db.names), len(query_db.names), time.monotonic() - t0,

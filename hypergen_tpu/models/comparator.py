@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hypergen_tpu.io.sketch_db import ShardedDB
-from hypergen_tpu.ops.ani import dot_i16_exact
+from hypergen_tpu.ops.ani import dot_i16_exact, dot_threshold_compact
 
 log = logging.getLogger("hypergen")
 
@@ -60,6 +60,7 @@ class Comparator:
         if use_mxu is None:
             use_mxu = jax.default_backend() == "tpu"
         self.use_mxu = use_mxu
+        self.compact_cap0 = 1 << 14  # initial survivor cap per tile
         self._dot = jax.jit(
             lambda r, q: dot_i16_exact(r, q, use_mxu=self.use_mxu)
         )
@@ -128,6 +129,132 @@ class Comparator:
             ii, jj = np.meshgrid(np.arange(M), np.arange(N), indexing="ij")
             ii, jj = ii.ravel(), jj.ravel()
         return ii.astype(np.int64), jj.astype(np.int64), ani_full[ii, jj]
+
+    def ani_pairs_thresholded(
+        self,
+        ref_db: ShardedDB,
+        query_db: ShardedDB,
+        symmetric: bool,
+        threshold: float,
+        ref_blocks: List | None = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Like ani_pairs but only pairs with ANI >= threshold leave the
+        device (device-side filter + compaction; exact host re-check).
+        Returns (ref_idx, query_idx, ani, n_total_pairs). Use for
+        production thresholds; ani_pairs for exhaustive tables.
+        ref_blocks: optional device-resident blocks from preload_ref."""
+        return _ani_pairs_thresholded(
+            self, ref_db, query_db, symmetric, threshold, ref_blocks
+        )
+
+    def preload_ref(self, db: ShardedDB) -> List:
+        """Device-resident (hv, norm) row tiles for ani_pairs_thresholded."""
+        tm = self.tile_m
+        return [
+            (
+                jnp.asarray(_pad_rows(db.hvs[mi : mi + tm], tm)),
+                jnp.asarray(_pad_rows(db.norms[mi : mi + tm], tm)),
+            )
+            for mi in range(0, db.hvs.shape[0], tm)
+        ]
+
+
+def _ani_pairs_thresholded(
+    comp: "Comparator",
+    ref_db: ShardedDB,
+    query_db: ShardedDB,
+    symmetric: bool,
+    threshold: float,
+    ref_blocks: List | None = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Device-filtered pair list: only pairs with ANI >= threshold cross D2H.
+
+    Returns (ref_idx, query_idx, ani, n_total_pairs) with pairs in reference
+    enumeration order and ANI from the exact host float chain — identical
+    rows to the dense path, at a tiny fraction of the transfer cost.
+    """
+    M, N = ref_db.hvs.shape[0], query_db.hvs.shape[0]
+    tm, tn = comp.tile_m, comp.tile_n
+    thr = jnp.float32(threshold)
+    out_i: List[np.ndarray] = []
+    out_j: List[np.ndarray] = []
+    out_a: List[np.ndarray] = []
+    for bi, mi in enumerate(range(0, M, tm)):
+        if ref_blocks is not None:
+            r_dev, nr_dev = ref_blocks[bi]
+        else:
+            r_dev = jnp.asarray(_pad_rows(ref_db.hvs[mi : mi + tm], tm))
+            nr_dev = jnp.asarray(_pad_rows(ref_db.norms[mi : mi + tm], tm))
+        for nj in range(0, N, tn):
+            q_blk = _pad_rows(query_db.hvs[nj : nj + tn], tn)
+            nq_blk = _pad_rows(query_db.norms[nj : nj + tn], tn)
+            cap = comp.compact_cap0
+            while True:
+                cnt, idx, dot = jax.device_get(
+                    dot_threshold_compact(
+                        r_dev, nr_dev, jnp.asarray(q_blk),
+                        jnp.asarray(nq_blk), thr, comp.ksize, cap,
+                        use_mxu=comp.use_mxu,
+                    )
+                )
+                if int(cnt) <= cap:
+                    break
+                cap = max(cap * 2, int(-(-int(cnt) // 1024) * 1024))
+            k = int(cnt)
+            idx = idx[:k]
+            ii = mi + idx // tn
+            jj = nj + idx % tn
+            # exact host chain on the exact dots; padding rows (ii >= M or
+            # jj >= N) are zero HVs -> ANI 0 -> already filtered for
+            # thresholds > 0.01, but mask defensively
+            valid = (ii < M) & (jj < N)
+            ii, jj, dots = ii[valid], jj[valid], dot[:k][valid]
+            ani = _ani_host_pairs(
+                dots, ref_db.norms[ii], query_db.norms[jj], comp.ksize
+            )
+            keep = ani >= np.float32(threshold)
+            out_i.append(ii[keep])
+            out_j.append(jj[keep])
+            out_a.append(ani[keep])
+    ii = np.concatenate(out_i) if out_i else np.zeros(0, np.int64)
+    jj = np.concatenate(out_j) if out_j else np.zeros(0, np.int64)
+    aa = np.concatenate(out_a) if out_a else np.zeros(0, np.float32)
+    if symmetric:
+        if M != N:
+            raise ValueError("symmetric dist requires square pair matrix")
+        keep = ii < jj
+        ii, jj, aa = ii[keep], jj[keep], aa[keep]
+        n_total = M * (M - 1) // 2
+    else:
+        n_total = M * N
+    # device tiles emit row-major order within each tile and tiles iterate
+    # (mi, nj); restore global reference enumeration order (i, then j)
+    order = np.lexsort((jj, ii))
+    return (
+        ii[order].astype(np.int64),
+        jj[order].astype(np.int64),
+        aa[order],
+        n_total,
+    )
+
+
+def _ani_host_pairs(
+    dot: np.ndarray, norm2_r: np.ndarray, norm2_q: np.ndarray, ksize: int
+) -> np.ndarray:
+    """Exact host float32 ANI chain for flat pair vectors (not matrices)."""
+    dot_f = dot.astype(np.float32)
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        denom = (
+            norm2_r.astype(np.int32)
+            + norm2_q.astype(np.int32)
+            - dot.astype(np.int32)
+        ).astype(np.float32)
+        jaccard = dot_f / denom
+        inner = np.float32(2.0) / (np.float32(1.0) / jaccard + np.float32(1.0))
+        ani = np.float32(1.0) + np.log(inner) / np.float32(ksize)
+    ani = np.where(np.isnan(ani), np.float32(0.0), ani)
+    ani = np.clip(ani, np.float32(0.0), np.float32(1.0))
+    return (ani * np.float32(100.0)).astype(np.float32)
 
 
 def format_ani_report(

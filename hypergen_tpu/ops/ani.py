@@ -141,3 +141,44 @@ def ani_topk(
     ani = ani_matrix(r_hv, norm2_r, q_hv, norm2_q, ksize, use_mxu=use_mxu)  # [M, N]
     vals, idx = jax.lax.top_k(ani.T, k_top)  # [N, k_top]
     return vals, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "cap", "use_mxu"))
+def dot_threshold_compact(
+    r_hv: jnp.ndarray,
+    norm2_r: jnp.ndarray,
+    q_hv: jnp.ndarray,
+    norm2_q: jnp.ndarray,
+    threshold: jnp.ndarray,
+    ksize: int,
+    cap: int,
+    use_mxu: bool = True,
+):
+    """Dot tile + ANI-threshold filter + compaction, all on device.
+
+    The `dist` workload at production thresholds (>=85%) keeps well under 1%
+    of pairs, so fetching the full int32 dot tile (4 bytes/pair) wastes
+    nearly all D2H bandwidth. This computes the [M, N] tile, filters by a
+    margin-relaxed float32 ANI test, and compacts survivors; only
+    (count, flat index, exact int32 dot) x cap leave the device. Callers
+    recompute the reference-exact float chain from the exact dots on host
+    and re-filter, so the final TSV is byte-identical to the full-fetch
+    path (the 0.01%% margin covers any XLA-vs-host f32 drift, which is
+    O(1e-4), see ani_from_dot_matrix).
+
+    Returns (count int32 scalar — caller retries with larger cap if
+    count > cap, flat_idx int32 [cap] (-1 padding), dot int32 [cap]).
+    """
+    dot = dot_i16_exact(r_hv, q_hv, use_mxu=use_mxu)
+    ani = ani_from_dot_matrix(dot, norm2_r, norm2_q, ksize)
+    keep = ani >= (threshold.astype(jnp.float32) - jnp.float32(0.01))
+    M, N = dot.shape
+    flat_keep = keep.reshape(-1)
+    flat_dot = dot.reshape(-1)
+    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    slot = jnp.where(flat_keep, pos, cap)  # out-of-bounds -> dropped
+    out_dot = jnp.zeros((cap,), jnp.int32).at[slot].set(flat_dot, mode="drop")
+    out_idx = jnp.full((cap,), -1, jnp.int32).at[slot].set(
+        jnp.arange(M * N, dtype=jnp.int32), mode="drop"
+    )
+    return jnp.sum(flat_keep.astype(jnp.int32)), out_idx, out_dot

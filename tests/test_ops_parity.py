@@ -300,3 +300,65 @@ class TestAni:
         # identical sketches -> 100
         assert got[0, 0] == pytest.approx(100.0)
         assert got[1, 1] == pytest.approx(100.0)
+
+
+class TestThresholdedDist:
+    def _db(self, rng, n, d=256):
+        from hypergen_tpu.io.sketch_db import ShardedDB
+
+        hv = rng.integers(-30, 30, size=(n, d)).astype(np.int16)
+        norms = np.sum(hv.astype(np.int64) ** 2, axis=1).astype(np.int32)
+        return ShardedDB(
+            ksize=21, scaled=30, canonical=True, seed=123, hv_d=d,
+            names=[f"g{i}" for i in range(n)], hvs=hv, norms=norms,
+        )
+
+    @pytest.mark.parametrize("symmetric", [False, True])
+    def test_matches_dense_path(self, symmetric):
+        from hypergen_tpu.models.comparator import Comparator, format_ani_report
+
+        rng = np.random.default_rng(21)
+        ref = self._db(rng, 37)
+        # correlated queries so some pairs clear a high threshold
+        q = ref if symmetric else self._db(rng, 23)
+        if not symmetric:
+            q.hvs[:10] = ref.hvs[:10] + rng.integers(-2, 3, q.hvs[:10].shape)
+            q.norms[:10] = np.sum(
+                q.hvs[:10].astype(np.int64) ** 2, axis=1
+            ).astype(np.int32)
+        comp = Comparator(ksize=21, tile_m=16, tile_n=16, use_mxu=False)
+        for th in (60.0, 85.0, 95.0):
+            ri_d, qi_d, ani_d = comp.ani_pairs(ref, q, symmetric=symmetric)
+            ri_t, qi_t, ani_t, n_total = comp.ani_pairs_thresholded(
+                ref, q, symmetric=symmetric, threshold=th
+            )
+            assert n_total == len(ani_d)
+            tsv_d, _ = format_ani_report(
+                ref.names, q.names, ri_d, qi_d, ani_d, th
+            )
+            tsv_t, _ = format_ani_report(
+                ref.names, q.names, ri_t, qi_t, ani_t, th
+            )
+            assert tsv_d == tsv_t
+
+    def test_cap_overflow_retries(self):
+        from hypergen_tpu.models.comparator import Comparator
+
+        rng = np.random.default_rng(5)
+        ref = self._db(rng, 40)
+        comp = Comparator(ksize=21, tile_m=64, tile_n=64, use_mxu=False)
+        comp.compact_cap0 = 64  # force the overflow-retry loop
+        # threshold 50 keeps ~everything among self-similar rows
+        db2 = self._db(rng, 40)
+        db2.hvs[:] = ref.hvs + rng.integers(-1, 2, ref.hvs.shape)
+        db2.norms[:] = np.sum(
+            db2.hvs.astype(np.int64) ** 2, axis=1
+        ).astype(np.int32)
+        ri, qi, ani, n_total = comp.ani_pairs_thresholded(
+            ref, db2, symmetric=False, threshold=50.0
+        )
+        ri_d, qi_d, ani_d = comp.ani_pairs(ref, db2, symmetric=False)
+        keep = ani_d >= np.float32(50.0)
+        np.testing.assert_array_equal(ri, ri_d[keep])
+        np.testing.assert_array_equal(qi, qi_d[keep])
+        np.testing.assert_array_equal(ani, ani_d[keep])
