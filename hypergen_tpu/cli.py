@@ -13,9 +13,12 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 from pathlib import Path
+
+import numpy as np
 
 from hypergen_tpu import params as P
 from hypergen_tpu.params import DistParams, SketchParams
@@ -76,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["t1ha2", "mmhash"])
     sk.add_argument("--shards", type=int, default=1,
                     help="number of shards when writing an .hgdb directory")
+    sk.add_argument("--resume", action="store_true",
+                    help="skip genomes already present in an existing .hgdb "
+                         "output (crash/preemption recovery; the reference's "
+                         "all-or-nothing .sketch write has no equivalent)")
     _add_common(sk)
 
     for name, extra in ((P.CMD_DIST, False), (P.CMD_SEARCH, True)):
@@ -131,6 +138,25 @@ def run_sketch(args) -> None:
     if not files:
         log.error("no FASTA files found under %s", sp.path)
         sys.exit(1)
+    done: dict = {}
+    is_hgdb = str(args.out).endswith(".hgdb")
+    if getattr(args, "resume", False) and is_hgdb and (
+        Path(args.out) / "manifest.json"
+    ).exists():
+        from hypergen_tpu.io.sketch_db import load_sharded_db
+
+        prev = load_sharded_db(args.out)
+        if (prev.ksize, prev.scaled, prev.seed, prev.hv_d) != (
+            sp.ksize, sp.scaled, sp.seed, sp.hv_d
+        ):
+            log.error("--resume: existing DB has different sketch params")
+            sys.exit(1)
+        done = {n: i for i, n in enumerate(prev.names)}
+        skipped = sum(1 for f in files if str(f) in done)
+        if skipped:
+            log.info("Resume: %d of %d genomes already sketched", skipped,
+                     len(files))
+        files = [f for f in files if str(f) not in done]
     log.info("Start sketching...")
     t0 = time.monotonic()
     sketcher = Sketcher(sp)
@@ -140,8 +166,22 @@ def run_sketch(args) -> None:
         "Sketching %d files took %.2fs - Speed: %.1f files/s",
         len(files), dt, len(files) / dt if dt > 0 else 0.0,
     )
-    if str(args.out).endswith(".hgdb"):
-        dump_sharded_db(sketches_to_db(sketches), args.out, n_shards=args.shards)
+    if is_hgdb:
+        if done:
+            from hypergen_tpu.io.sketch_db import ShardedDB
+
+            new = sketches_to_db(sketches) if sketches else None
+            db = ShardedDB(
+                ksize=prev.ksize, scaled=prev.scaled,
+                canonical=prev.canonical, seed=prev.seed, hv_d=prev.hv_d,
+                names=prev.names + (new.names if new else []),
+                hvs=np.concatenate([prev.hvs, new.hvs]) if new else prev.hvs,
+                norms=np.concatenate([prev.norms, new.norms])
+                if new else prev.norms,
+            )
+        else:
+            db = sketches_to_db(sketches)
+        dump_sharded_db(db, args.out, n_shards=args.shards)
         log.info("Dump sharded DB to %s", args.out)
     else:
         size = dump_sketch(sketches, args.out)
@@ -213,17 +253,20 @@ def run_hist(args) -> None:
 def main(argv=None) -> None:
     from hypergen_tpu.utils.jaxcache import enable_compilation_cache
 
+    from hypergen_tpu.utils.timing import maybe_profile
+
     setup_logging()
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
-    if args.mode == P.CMD_SKETCH:
-        run_sketch(args)
-    elif args.mode == P.CMD_DIST:
-        run_dist(args)
-    elif args.mode == P.CMD_SEARCH:
-        run_search(args)
-    elif args.mode == "hist":
-        run_hist(args)
+    with maybe_profile(os.environ.get("HG_TRACE_DIR", "")):
+        if args.mode == P.CMD_SKETCH:
+            run_sketch(args)
+        elif args.mode == P.CMD_DIST:
+            run_dist(args)
+        elif args.mode == P.CMD_SEARCH:
+            run_search(args)
+        elif args.mode == "hist":
+            run_hist(args)
 
 
 if __name__ == "__main__":

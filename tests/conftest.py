@@ -20,3 +20,9 @@ if os.environ.get("HG_TEST_TPU", "") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests"
+    )

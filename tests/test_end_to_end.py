@@ -231,3 +231,62 @@ class TestHistogram:
         lines = capsys.readouterr().out.strip().splitlines()
         assert lines and all(len(l.split("\t")) == 2 for l in lines)
         assert sum(int(l.split("\t")[1]) for l in lines) == 1024
+
+class TestResume:
+    def test_resume_skips_done_and_appends(self, tmp_path):
+        from hypergen_tpu.io.sketch_db import load_sharded_db
+
+        data = tmp_path / "data"
+        data.mkdir()
+        for i in range(3):
+            _write_genome(data / f"g{i}.fna", 4000, seed=40 + i)
+        out = tmp_path / "db.hgdb"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024"])
+        db1 = load_sharded_db(out)
+        # add two more genomes, resume
+        for i in range(3, 5):
+            _write_genome(data / f"g{i}.fna", 4000, seed=40 + i)
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024", "--resume"])
+        db2 = load_sharded_db(out)
+        assert len(db2.names) == 5
+        # previously sketched rows unchanged
+        for i, name in enumerate(db1.names):
+            j = db2.names.index(name)
+            np.testing.assert_array_equal(db1.hvs[i], db2.hvs[j])
+        # appended rows equal a fresh full sketch
+        out3 = tmp_path / "fresh.hgdb"
+        cli_main(["sketch", "-p", str(data), "-o", str(out3),
+                  "-s", "30", "-d", "1024"])
+        db3 = load_sharded_db(out3)
+        for name in db3.names:
+            np.testing.assert_array_equal(
+                db2.hvs[db2.names.index(name)],
+                db3.hvs[db3.names.index(name)],
+            )
+
+    def test_resume_param_mismatch_errors(self, tmp_path):
+        data = tmp_path / "data"
+        data.mkdir()
+        _write_genome(data / "g0.fna", 3000, seed=1)
+        out = tmp_path / "db.hgdb"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024"])
+        with pytest.raises(SystemExit):
+            cli_main(["sketch", "-p", str(data), "-o", str(out),
+                      "-s", "50", "-d", "1024", "--resume"])
+
+
+class TestDSweep:
+    @pytest.mark.parametrize("hv_d", [1024, 4096, 8192])
+    def test_sketch_matches_oracle_across_d(self, hv_d, tmp_path):
+        """BASELINE config 3: D-sweep parity (1024/4096/8192)."""
+        seq = _write_genome(tmp_path / "g.fna", 4000, seed=11)
+        p = SketchParams(ksize=21, seed=123, scaled=30, hv_d=hv_d)
+        sk = Sketcher(p, chunk_positions=1024, batch=1)
+        fs = sk.sketch_file(tmp_path / "g.fna")
+        oracle = orp.sketch_genome(
+            [seq.tobytes()], ksize=21, scaled=30, seed=123, hv_d=hv_d
+        )
+        np.testing.assert_array_equal(fs.decompress(), oracle["hv"])

@@ -88,3 +88,25 @@ def test_data_parallel_sketch_encode():
 
     exp = np.asarray(encode_hv(h, jnp.asarray(valid), D))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_sharded_search_1k_db():
+    """BASELINE config 4 shape: 1k-genome DB sharded over the mesh,
+    streamed query batch, top-hit merge."""
+    import jax
+
+    from hypergen_tpu.parallel.mesh import make_mesh
+    from hypergen_tpu.parallel.search import sharded_topk_search
+
+    rng = np.random.default_rng(17)
+    M, N, D, K = 1000, 64, 512, 5
+    db = rng.integers(-40, 40, size=(M, D)).astype(np.int16)
+    dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    q = db[rng.integers(0, M, size=N)].copy()
+    qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    mesh = make_mesh(4, 2)
+    ani, idx = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
+    exp_ani, exp_idx = _reference_topk(db, dbn, q, qn, 21, K)
+    np.testing.assert_allclose(ani, exp_ani, atol=2e-3)
+    # self-hit (exact row copy) must rank first with ANI 100
+    assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
