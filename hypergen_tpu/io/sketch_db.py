@@ -238,3 +238,35 @@ def hv_value_histogram(sketches: List[FileSketch]) -> dict:
         for v, c in zip(vals.tolist(), counts.tolist()):
             hist[int(v)] = hist.get(int(v), 0) + int(c)
     return hist
+
+
+def load_db_rows(path, lo: int, hi: int) -> ShardedDB:
+    """Load only global rows [lo, hi) of an .hgdb (multi-host shard loading).
+
+    Each host of a pod loads just the rows its local devices own; shard
+    .npy files are memory-mapped so only the overlapping slices touch disk.
+    """
+    root = Path(path)
+    manifest = json.loads((root / "manifest.json").read_text())
+    hvs = []
+    norms = []
+    for s in manifest["shards"]:
+        a, b = s["rows"]
+        sl_lo, sl_hi = max(lo, a), min(hi, b)
+        if sl_lo >= sl_hi:
+            continue
+        hv = np.load(root / s["hv"], mmap_mode="r")
+        nm = np.load(root / s["norm"], mmap_mode="r")
+        hvs.append(np.asarray(hv[sl_lo - a : sl_hi - a]))
+        norms.append(np.asarray(nm[sl_lo - a : sl_hi - a]))
+    hv_d = manifest["hv_d"]
+    return ShardedDB(
+        ksize=manifest["ksize"],
+        scaled=manifest["scaled"],
+        canonical=manifest["canonical"],
+        seed=manifest["seed"],
+        hv_d=hv_d,
+        names=manifest["names"][lo:hi],
+        hvs=np.concatenate(hvs) if hvs else np.zeros((0, hv_d), np.int16),
+        norms=np.concatenate(norms) if norms else np.zeros((0,), np.int32),
+    )

@@ -59,6 +59,33 @@ def _local_search(db_hv, db_norm, q_hv, q_norm, *, ksize: int, k_top: int,
     return mv, mi.astype(jnp.int32)
 
 
+def _search_fn(mesh: Mesh, ksize: int, k_top: int, use_mxu: bool):
+    """The jitted shard_map search program (shared by all entry points)."""
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _local_search, ksize=ksize, k_top=k_top, use_mxu=use_mxu
+            ),
+            mesh=mesh,
+            in_specs=(P(AXIS_DB, None), P(AXIS_DB), P(AXIS_Q, None), P(AXIS_Q)),
+            out_specs=(P(AXIS_Q, None), P(AXIS_Q, None)),
+            # outputs are replicated over `db` by construction (post
+            # all_gather merge), which the static checker can't infer
+            check_vma=False,
+        )
+    )
+
+
+def _mask_padding(ani, idx, M, Mp, N):
+    ani, idx = ani[:N], idx[:N]
+    # mask out padded DB rows (they can only appear when M < Mp)
+    if Mp != M:
+        bad = idx >= M
+        ani = np.where(bad, -np.inf, ani)
+        idx = np.where(bad, 0, idx)
+    return ani, idx
+
+
 def sharded_topk_search(
     mesh: Mesh,
     db_hv: np.ndarray,
@@ -82,39 +109,79 @@ def sharded_topk_search(
     M, N = db_hv.shape[0], q_hv.shape[0]
     Mp = -(-M // ndb) * ndb
     Np = -(-N // nq) * nq
-    db_hv_p = _pad_rows(db_hv, Mp)
-    db_norm_p = _pad_rows(db_norm, Mp)
-    q_hv_p = _pad_rows(q_hv, Np)
-    q_norm_p = _pad_rows(q_norm, Np)
-
-    fn = jax.jit(
-        jax.shard_map(
-            functools.partial(
-                _local_search, ksize=ksize, k_top=k_top, use_mxu=use_mxu
-            ),
-            mesh=mesh,
-            in_specs=(P(AXIS_DB, None), P(AXIS_DB), P(AXIS_Q, None), P(AXIS_Q)),
-            out_specs=(P(AXIS_Q, None), P(AXIS_Q, None)),
-            # outputs are replicated over `db` by construction (post
-            # all_gather merge), which the static checker can't infer
-            check_vma=False,
-        )
-    )
+    fn = _search_fn(mesh, ksize, k_top, use_mxu)
     sh = lambda spec: NamedSharding(mesh, spec)
     args = (
-        jax.device_put(db_hv_p, sh(P(AXIS_DB, None))),
-        jax.device_put(db_norm_p, sh(P(AXIS_DB))),
-        jax.device_put(q_hv_p, sh(P(AXIS_Q, None))),
-        jax.device_put(q_norm_p, sh(P(AXIS_Q))),
+        jax.device_put(_pad_rows(db_hv, Mp), sh(P(AXIS_DB, None))),
+        jax.device_put(_pad_rows(db_norm, Mp), sh(P(AXIS_DB))),
+        jax.device_put(_pad_rows(q_hv, Np), sh(P(AXIS_Q, None))),
+        jax.device_put(_pad_rows(q_norm, Np), sh(P(AXIS_Q))),
     )
     ani, idx = jax.device_get(fn(*args))
-    ani, idx = ani[:N], idx[:N]
-    # mask out padded DB rows (they can only appear when M < Mp)
-    if Mp != M:
-        bad = idx >= M
-        ani = np.where(bad, -np.inf, ani)
-        idx = np.where(bad, 0, idx)
-    return ani, idx
+    return _mask_padding(ani, idx, M, Mp, N)
+
+
+def multihost_topk_search(
+    db_dir,
+    q_hv: np.ndarray,
+    q_norm: np.ndarray,
+    ksize: int,
+    k_top: int,
+    use_mxu: bool | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pod-scale DB search: every host loads ONLY its devices' DB rows.
+
+    The .hgdb manifest defines global row order; each global device owns a
+    contiguous row range, and each process mmap-loads just the ranges of its
+    addressable devices (load_db_rows), so a GTDB-scale database never
+    materializes on any single host. The global [M, D] array is assembled
+    with jax.make_array_from_single_device_arrays and searched with the
+    same shard_map program as the single-host path; queries are replicated
+    (they are tiny next to the DB).
+
+    Call after jax.distributed.initialize (mesh.init_distributed). Returns
+    (ani [N, k_top], idx [N, k_top]) — replicated, identical on all hosts.
+    """
+    import json
+    from pathlib import Path as _Path
+
+    from hypergen_tpu.io.sketch_db import load_db_rows
+
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    manifest = json.loads((_Path(db_dir) / "manifest.json").read_text())
+    M, D = manifest["n_genomes"], manifest["hv_d"]
+    devices = jax.devices()
+    ndb = len(devices)
+    mesh = make_mesh(ndb, 1, devices=devices)
+    Mp = -(-M // ndb) * ndb
+    rp = Mp // ndb
+    N = q_hv.shape[0]
+
+    hv_bufs, norm_bufs = [], []
+    for di, dev in enumerate(devices):
+        if dev.process_index != jax.process_index():
+            continue
+        lo, hi = di * rp, min((di + 1) * rp, M)
+        local = load_db_rows(db_dir, lo, min(hi, M))
+        hv_bufs.append(jax.device_put(_pad_rows(local.hvs, rp), dev))
+        norm_bufs.append(jax.device_put(_pad_rows(local.norms, rp), dev))
+    sh = lambda spec: NamedSharding(mesh, spec)
+    db_hv = jax.make_array_from_single_device_arrays(
+        (Mp, D), sh(P(AXIS_DB, None)), hv_bufs
+    )
+    db_norm = jax.make_array_from_single_device_arrays(
+        (Mp,), sh(P(AXIS_DB)), norm_bufs
+    )
+    q_dev = jax.device_put(q_hv, sh(P(AXIS_Q, None)))
+    qn_dev = jax.device_put(q_norm, sh(P(AXIS_Q)))
+
+    fn = _search_fn(mesh, ksize, k_top, use_mxu)
+    ani_g, idx_g = fn(db_hv, db_norm, q_dev, qn_dev)
+    # outputs are replicated (q axis is 1, db-merged): read the local copy
+    ani = np.asarray(ani_g.addressable_data(0))
+    idx = np.asarray(idx_g.addressable_data(0))
+    return _mask_padding(ani, idx, M, Mp, N)
 
 
 def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:

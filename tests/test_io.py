@@ -178,3 +178,24 @@ class TestSketchDB:
         # partial shard load
         part = load_sharded_db(tmp_path / "db.hgdb", shard_ids=[1])
         assert len(part.names) == part.hvs.shape[0] > 0
+
+
+class TestLoadDbRows:
+    def test_row_ranges_across_shards(self, tmp_path):
+        from hypergen_tpu.io.sketch_db import (
+            ShardedDB, dump_sharded_db, load_db_rows,
+        )
+
+        rng = np.random.default_rng(8)
+        M, D = 23, 64
+        hv = rng.integers(-9, 9, size=(M, D)).astype(np.int16)
+        norms = np.sum(hv.astype(np.int64) ** 2, axis=1).astype(np.int32)
+        db = ShardedDB(ksize=21, scaled=30, canonical=True, seed=123,
+                       hv_d=D, names=[f"g{i}" for i in range(M)],
+                       hvs=hv, norms=norms)
+        dump_sharded_db(db, tmp_path / "db.hgdb", n_shards=4)
+        for lo, hi in [(0, 5), (4, 13), (0, 23), (20, 23), (7, 7)]:
+            part = load_db_rows(tmp_path / "db.hgdb", lo, hi)
+            np.testing.assert_array_equal(part.hvs, hv[lo:hi])
+            np.testing.assert_array_equal(part.norms, norms[lo:hi])
+            assert part.names == db.names[lo:hi]

@@ -85,3 +85,79 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+_WORKER_DB = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+    db_dir = sys.argv[4]
+    from hypergen_tpu.parallel.mesh import init_distributed
+    init_distributed(coord, nproc, pid)
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    from hypergen_tpu.io.sketch_db import load_sharded_db
+    from hypergen_tpu.parallel.search import multihost_topk_search
+
+    full = load_sharded_db(db_dir)  # test-only reference copy
+    N, K = 6, 3
+    q = full.hvs[:N].copy(); qn = full.norms[:N].copy()
+    ani, idx = multihost_topk_search(db_dir, q, qn, ksize=21, k_top=K)
+    assert ani.shape == (N, K)
+    assert np.allclose(ani[:, 0], 100.0, atol=1e-2), ani[:, 0]
+    assert (idx[:, 0] == np.arange(N)).all(), idx[:, 0]
+
+    # full reference top-k from the host float chain on the whole DB
+    from hypergen_tpu.models.comparator import ani_f32_host
+    from hypergen_tpu.ops.ani import dot_i16_exact
+    import jax.numpy as jnp
+    dot = np.asarray(dot_i16_exact(
+        jnp.asarray(full.hvs), jnp.asarray(q), use_mxu=False))
+    ref = ani_f32_host(dot, full.norms, qn, 21).T  # [N, M]
+    exp_ani = -np.sort(-ref, axis=1)[:, :K]
+    assert np.allclose(np.asarray(ani), exp_ani, atol=2e-3), (ani, exp_ani)
+    print(f"proc{pid} dbsearch ok", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_multihost_db_search(tmp_path):
+    from hypergen_tpu.io.sketch_db import ShardedDB, dump_sharded_db
+
+    rng = np.random.default_rng(3)
+    M, D = 53, 128  # deliberately not divisible by 8 devices
+    hv = rng.integers(-30, 30, size=(M, D)).astype(np.int16)
+    norms = np.sum(hv.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    db = ShardedDB(ksize=21, scaled=30, canonical=True, seed=123, hv_d=D,
+                   names=[f"g{i}" for i in range(M)], hvs=hv, norms=norms)
+    db_dir = tmp_path / "db.hgdb"
+    dump_sharded_db(db, db_dir, n_shards=3)
+
+    port = _free_port()
+    script = tmp_path / "worker_db.py"
+    script.write_text(_WORKER_DB)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2",
+             f"localhost:{port}", str(db_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert f"proc{pid} dbsearch ok" in out
