@@ -221,8 +221,10 @@ def make_sketch_step(
         if use_pallas:
             from hypergen_tpu.ops.pallas.hash_kernel import hash_chunks_pallas
 
+            cells = 4096 if C % 4096 == 0 else 1024
             h, keep = hash_chunks_pallas(
-                chunks, k, seed, threshold, canonical=canonical, method=method
+                chunks, k, seed, threshold, canonical=canonical,
+                method=method, cells=cells,
             )
         else:
             h, keep = hash_kmer_positions(

@@ -37,8 +37,15 @@ from hypergen_tpu.ops import u64 as u
 from hypergen_tpu.ops.hashes import mm_hash64, t1ha2_atonce_words
 from hypergen_tpu.ops.u64 import U64
 
-CELLS = 1024  # 8 sublanes x 128 lanes
+CELLS = 1024  # default: 8 sublanes x 128 lanes (one VREG per op)
 _SENT = np.uint32(0xFFFFFFFF)
+
+# Wider tiles trade halo redundancy for instruction-level parallelism: at
+# cells=1024 every op touches exactly one VREG, so the long t1ha2 dependency
+# chain is latency-bound; at cells=4096 each op spans 4 VREGs, giving the
+# VPU 4 independent lanes of the chain to overlap. The k-1 warmup steps are
+# re-done per cell, so wider also means proportionally more halo work —
+# 4096 (lsub=C/4096) is the sweet spot for C >= 64K.
 
 
 def _ascii_from_code(c):
@@ -51,7 +58,7 @@ def _ascii_from_code(c):
 
 
 def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
-                    seed, threshold, canonical, method, lsub):
+                    seed, threshold, canonical, method, lsub, sub):
     # state_ref rows: 0 run, 1-2 f2 (hi, lo), 3-4 r2 (hi, lo),
     # 5..5+n_u32 fwd ASCII words, then n_u32 rc ASCII words.
     # Rolling state lives in VMEM scratch rather than fori_loop carries:
@@ -69,7 +76,7 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
     # shift placing the newest rc 2-bit base at bit 2k-2 of the (hi, lo) pair
     rc_shift = 2 * k - 2
 
-    zero = jnp.zeros((8, 128), dtype=jnp.uint32)
+    zero = jnp.zeros((sub, 128), dtype=jnp.uint32)
     state_ref[:] = jnp.zeros_like(state_ref)
 
     def body(t, _):
@@ -118,7 +125,7 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
         if canonical:
             is_rc = u.lt(r2, f2)
         else:
-            is_rc = jnp.zeros((8, 128), dtype=bool)
+            is_rc = jnp.zeros((sub, 128), dtype=bool)
 
         if method == "t1ha2":
             sel = [jnp.where(is_rc, rw[q], fw[q]) for q in range(n_u32)]
@@ -156,7 +163,7 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
 @functools.partial(
     jax.jit,
     static_argnames=("ksize", "seed", "threshold", "canonical", "method",
-                     "interpret"),
+                     "interpret", "cells"),
 )
 def hash_chunks_pallas(
     chunk_codes: jnp.ndarray,
@@ -166,28 +173,33 @@ def hash_chunks_pallas(
     canonical: bool = True,
     method: str = "t1ha2",
     interpret: bool = False,
+    cells: int = CELLS,
 ) -> Tuple[U64, jnp.ndarray]:
     """Drop-in fused replacement for ops.kmers.hash_kmer_positions.
 
-    chunk_codes: uint8 [nc, C + k - 1] with C % 1024 == 0.
+    chunk_codes: uint8 [nc, C + k - 1] with C % cells == 0.
     Returns (hash U64 [nc, C], keep bool [nc, C]) — identical contract to
-    the XLA path, validated bit-exactly in tests.
+    the XLA path, validated bit-exactly in tests. cells must be a multiple
+    of 128 (VPU lane count); see the CELLS note on the ILP tradeoff.
     """
     nc, width = chunk_codes.shape
     C = width - (ksize - 1)
-    if C % CELLS != 0:
-        raise ValueError(f"chunk positions {C} must be a multiple of {CELLS}")
-    lsub = C // CELLS
+    if cells % 128 != 0:
+        raise ValueError(f"cells {cells} must be a multiple of 128")
+    if C % cells != 0:
+        raise ValueError(f"chunk positions {C} must be a multiple of {cells}")
+    sub = cells // 128
+    lsub = C // cells
     T = lsub + ksize - 1
 
     # cell-major relayout: cell c owns positions [c*lsub, (c+1)*lsub) plus a
     # k-1 halo — cell_codes[t, c] = chunk_codes[c*lsub + t]
     idx = (
         np.arange(T, dtype=np.int32)[:, None]
-        + np.arange(CELLS, dtype=np.int32)[None, :] * lsub
-    )  # [T, CELLS]; max index = (CELLS-1)*lsub + T-1 = C + k - 2  (in range)
+        + np.arange(cells, dtype=np.int32)[None, :] * lsub
+    )  # [T, cells]; max index = (cells-1)*lsub + T-1 = C + k - 2  (in range)
     cell_codes = jnp.take(chunk_codes, jnp.asarray(idx), axis=1)
-    cell_codes = cell_codes.reshape(nc, T, 8, 128).astype(jnp.int32)
+    cell_codes = cell_codes.reshape(nc, T, sub, 128).astype(jnp.int32)
 
     kern = functools.partial(
         _rolling_kernel,
@@ -197,33 +209,34 @@ def hash_chunks_pallas(
         canonical=canonical,
         method=method,
         lsub=lsub,
+        sub=sub,
     )
     out_hi, out_lo = pl.pallas_call(
         kern,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, T, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, T, sub, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, lsub, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, lsub, sub, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lsub, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, lsub, sub, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nc, lsub, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((nc, lsub, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc, lsub, sub, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc, lsub, sub, 128), jnp.uint32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((5 + 2 * ((ksize + 3) // 4), 8, 128), jnp.uint32),
+            pltpu.VMEM((5 + 2 * ((ksize + 3) // 4), sub, 128), jnp.uint32),
         ],
         interpret=interpret,
     )(cell_codes)
 
     # back to position-major [nc, C]: position p = c*lsub + t
     def unlayout(x):
-        return x.reshape(nc, lsub, CELLS).transpose(0, 2, 1).reshape(nc, C)
+        return x.reshape(nc, lsub, cells).transpose(0, 2, 1).reshape(nc, C)
 
     h = U64(unlayout(out_hi), unlayout(out_lo))
     keep = ~((h.hi == _SENT) & (h.lo == _SENT))

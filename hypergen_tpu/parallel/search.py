@@ -194,31 +194,56 @@ def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
 
 def run_search_cli(args, load_db) -> None:
     """CLI glue for the `search` subcommand."""
+    import json
+    from pathlib import Path as _Path
+
     from hypergen_tpu.models.comparator import format_ani_report
 
     t0 = time.monotonic()
-    ref_db = load_db(args.path_r)
     query_db = load_db(args.path_q)
-    if ref_db.ksize != query_db.ksize or ref_db.hv_d != query_db.hv_d:
-        raise SystemExit("ref/query sketch parameter mismatch")
-    mesh = make_mesh()
-    k_top = min(args.top_k, ref_db.hvs.shape[0])
-    ani, idx = sharded_topk_search(
-        mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
-        ksize=ref_db.ksize, k_top=k_top,
-    )
+    if (
+        jax.process_count() > 1
+        and _Path(args.path_r).is_dir()
+    ):
+        # pod mode: every host loads only its devices' DB rows
+        manifest = json.loads(
+            (_Path(args.path_r) / "manifest.json").read_text()
+        )
+        if manifest["ksize"] != query_db.ksize or manifest["hv_d"] != query_db.hv_d:
+            raise SystemExit("ref/query sketch parameter mismatch")
+        ref_names = manifest["names"]
+        k_top = min(args.top_k, manifest["n_genomes"])
+        ani, idx = multihost_topk_search(
+            args.path_r, query_db.hvs, query_db.norms,
+            ksize=query_db.ksize, k_top=k_top,
+        )
+        ref_db_names = ref_names
+        n_refs = manifest["n_genomes"]
+    else:
+        ref_db = load_db(args.path_r)
+        if ref_db.ksize != query_db.ksize or ref_db.hv_d != query_db.hv_d:
+            raise SystemExit("ref/query sketch parameter mismatch")
+        mesh = make_mesh()
+        k_top = min(args.top_k, ref_db.hvs.shape[0])
+        ani, idx = sharded_topk_search(
+            mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
+            ksize=ref_db.ksize, k_top=k_top,
+        )
+        ref_db_names = ref_db.names
+        n_refs = ref_db.hvs.shape[0]
     lines = []
     thr = np.float32(args.ani_th)
     for qi in range(ani.shape[0]):
         for j in range(k_top):
             if ani[qi, j] >= thr:
                 lines.append(
-                    f"{query_db.names[qi]}\t{ref_db.names[int(idx[qi, j])]}\t"
+                    f"{query_db.names[qi]}\t{ref_db_names[int(idx[qi, j])]}\t"
                     f"{ani[qi, j]:.3f}\n"
                 )
-    Path(args.out).write_text("".join(lines))
+    if jax.process_index() == 0:  # results replicated across hosts
+        Path(args.out).write_text("".join(lines))
     log.info(
         "Searched %d queries against %d refs (top-%d) in %.3fs -> %d hits",
-        ani.shape[0], ref_db.hvs.shape[0], k_top,
+        ani.shape[0], n_refs, k_top,
         time.monotonic() - t0, len(lines),
     )

@@ -1,0 +1,39 @@
+"""Wide-cells kernel: TPU Mosaic compile check + parity + quick timing."""
+import time
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypergen_tpu.ops import u64 as u
+from hypergen_tpu.ops.kmers import hash_kmer_positions
+from hypergen_tpu.ops.pallas.hash_kernel import hash_chunks_pallas
+from hypergen_tpu.params import fracminhash_threshold
+from hypergen_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+rng = np.random.default_rng(0)
+k, thr = 21, fracminhash_threshold(1500)
+C = 1 << 17
+codes = rng.integers(0, 4, size=(32, C + k - 1)).astype(np.uint8)
+
+h_x, keep_x = jax.device_get(hash_kmer_positions(jnp.asarray(codes), k, 123, thr))
+for cells in (1024, 4096, 8192):
+    h_p, keep_p = jax.device_get(
+        hash_chunks_pallas(jnp.asarray(codes), k, 123, thr, cells=cells)
+    )
+    assert (np.asarray(keep_p) == np.asarray(keep_x)).all()
+    hp = u.to_np_u64(h_p)
+    hx = u.to_np_u64(h_x)
+    assert (hp[keep_p] == hx[keep_x]).all()
+    # timing: distinct inputs per rep; scalar fetch
+    f = jax.jit(lambda c: hash_chunks_pallas(
+        c, k, 123, thr, cells=cells)[0].lo.astype(jnp.int32).sum())
+    ins = [jnp.asarray(rng.integers(0, 4, size=codes.shape, dtype=np.uint8))
+           for _ in range(3)]
+    float(f(ins[0]))
+    t0 = time.monotonic()
+    for x in ins:
+        float(f(x))
+    dt = (time.monotonic() - t0) / 3
+    mbps = 32 * C / dt / 1e6
+    print(f"cells={cells:5d}: parity OK, {dt*1e3:7.1f} ms/32chunks "
+          f"({mbps:8.0f} M pos/s)", flush=True)

@@ -67,3 +67,24 @@ def test_kernel_rejects_bad_width():
     codes = np.zeros((1, 1000), dtype=np.uint8)
     with pytest.raises(ValueError):
         hash_chunks_pallas(jnp.asarray(codes), 21, 123, 100, interpret=True)
+
+
+@pytest.mark.parametrize("cells", [256, 512, 4096])
+def test_kernel_parity_wide_cells(cells):
+    """ILP-widened tiles (cells > 1024 => multiple VREGs per op) must be
+    bit-identical to the default layout."""
+    k = 21
+    C = max(cells, 4096)
+    codes = rng.integers(0, 5, size=(2, C + k - 1)).astype(np.uint8)
+    thr = fracminhash_threshold(3)
+    h_ref, keep_ref = hash_kmer_positions(
+        jnp.asarray(codes), k, 123, thr
+    )
+    h_pal, keep_pal = hash_chunks_pallas(
+        jnp.asarray(codes), k, 123, thr, interpret=True, cells=cells
+    )
+    np.testing.assert_array_equal(np.asarray(keep_pal), np.asarray(keep_ref))
+    np.testing.assert_array_equal(
+        u.to_np_u64(h_pal)[np.asarray(keep_pal)],
+        u.to_np_u64(h_ref)[np.asarray(keep_ref)],
+    )
