@@ -522,22 +522,28 @@ class Sketcher:
         order (reference emits files in glob order,
         reference:src/sketch.rs:19-32).
         """
+        import os
+
         from hypergen_tpu.utils.progress import ProgressBar
+        from hypergen_tpu.utils.timing import StageTimer
 
         paths = list(paths)
         pb = ProgressBar(len(paths), enabled=progress)
         io_threads = io_threads or min(self.params.threads, 16)
         results: Dict[int, FileSketch] = {}
         window = collections.deque()
+        timer = StageTimer()
 
         def drain_one():
             idxs, handle = window.popleft()
-            for i, res in zip(idxs, self.collect_batch(handle)):
-                results[i] = self._to_filesketch(res, str(paths[i]))
-                pb.inc()
+            with timer.stage("collect+compress"):
+                for i, res in zip(idxs, self.collect_batch(handle)):
+                    results[i] = self._to_filesketch(res, str(paths[i]))
+                    pb.inc()
 
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            futs = list(enumerate(pool.map(read_genome_codes, paths)))
+            with timer.stage("fasta_read"):
+                futs = list(enumerate(pool.map(read_genome_codes, paths)))
             # group by bucket to batch same-shape genomes together
             by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
             for i, codes in futs:
@@ -549,12 +555,15 @@ class Sketcher:
                 for j in range(0, len(items), self.batch):
                     group = items[j : j + self.batch]
                     idxs = [i for i, _ in group]
-                    window.append(
-                        (idxs, self.submit_batch([c for _, c in group]))
-                    )
+                    with timer.stage("pack+dispatch"):
+                        window.append(
+                            (idxs, self.submit_batch([c for _, c in group]))
+                        )
                     if len(window) >= pipeline_depth:
                         drain_one()
             while window:
                 drain_one()
         pb.finish()
+        if os.environ.get("HG_STAGE_TIMING"):
+            log.info("sketch stage timing:\n%s", timer.report())
         return [results[i] for i in range(len(paths))]

@@ -192,6 +192,57 @@ def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("ksize", "k_top", "use_mxu"))
+def _topk_tile_merge(db_tile, dbn_tile, q, qn, run_v, run_i, offset,
+                     ksize: int, k_top: int, use_mxu: bool):
+    from hypergen_tpu.ops.ani import ani_topk
+
+    v, i = ani_topk(db_tile, dbn_tile, q, qn, ksize, k_top, use_mxu=use_mxu)
+    cv = jnp.concatenate([run_v, v], axis=1)
+    ci = jnp.concatenate([run_i, i + offset], axis=1)
+    mv, mp = jax.lax.top_k(cv, k_top)
+    return mv, jnp.take_along_axis(ci, mp, axis=1)
+
+
+def local_topk_search_tiled(
+    db_hv: np.ndarray,
+    db_norm: np.ndarray,
+    q_hv: np.ndarray,
+    q_norm: np.ndarray,
+    ksize: int,
+    k_top: int,
+    tile_m: int = 8192,
+    use_mxu: bool | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-device top-k over a DB larger than one ANI matrix dispatch.
+
+    Streams DB row tiles through a running on-device top-k merge, so peak
+    memory is O(tile_m x N) instead of O(M x N) — the single-chip analog of
+    the sharded pod search (a 500k-genome DB at D=4096 is 4 GB of HVs but
+    would need a 500k x n_q float matrix in one shot).
+    """
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    import jax.numpy as _jnp
+
+    M, N = db_hv.shape[0], q_hv.shape[0]
+    q_dev = _jnp.asarray(q_hv)
+    qn_dev = _jnp.asarray(q_norm)
+    run_v = _jnp.full((N, k_top), -_jnp.inf, dtype=_jnp.float32)
+    run_i = _jnp.zeros((N, k_top), dtype=_jnp.int32)
+    for mi in range(0, M, tile_m):
+        tile = _pad_rows(db_hv[mi : mi + tile_m], tile_m)
+        tn = _pad_rows(db_norm[mi : mi + tile_m], tile_m)
+        run_v, run_i = _topk_tile_merge(
+            _jnp.asarray(tile), _jnp.asarray(tn), q_dev, qn_dev,
+            run_v, run_i, _jnp.int32(mi), ksize, k_top, use_mxu,
+        )
+    ani = np.asarray(run_v)
+    idx = np.asarray(run_i)
+    bad = idx >= M  # padded rows of the last tile
+    return np.where(bad, -np.inf, ani), np.where(bad, 0, idx)
+
+
 def run_search_cli(args, load_db) -> None:
     """CLI glue for the `search` subcommand."""
     import json
@@ -223,14 +274,23 @@ def run_search_cli(args, load_db) -> None:
         ref_db = load_db(args.path_r)
         if ref_db.ksize != query_db.ksize or ref_db.hv_d != query_db.hv_d:
             raise SystemExit("ref/query sketch parameter mismatch")
-        mesh = make_mesh()
-        k_top = min(args.top_k, ref_db.hvs.shape[0])
-        ani, idx = sharded_topk_search(
-            mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
-            ksize=ref_db.ksize, k_top=k_top,
-        )
+        M, N = ref_db.hvs.shape[0], query_db.hvs.shape[0]
+        k_top = min(args.top_k, M)
+        if jax.device_count() == 1 and M * N > (1 << 28):
+            # DB too large for one ANI matrix on a single chip: stream
+            # row tiles through a running on-device top-k merge
+            ani, idx = local_topk_search_tiled(
+                ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
+                ksize=ref_db.ksize, k_top=k_top,
+            )
+        else:
+            mesh = make_mesh()
+            ani, idx = sharded_topk_search(
+                mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
+                ksize=ref_db.ksize, k_top=k_top,
+            )
         ref_db_names = ref_db.names
-        n_refs = ref_db.hvs.shape[0]
+        n_refs = M
     lines = []
     thr = np.float32(args.ani_th)
     for qi in range(ani.shape[0]):

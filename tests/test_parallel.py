@@ -110,3 +110,21 @@ def test_sharded_search_1k_db():
     np.testing.assert_allclose(ani, exp_ani, atol=2e-3)
     # self-hit (exact row copy) must rank first with ANI 100
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
+
+
+def test_local_topk_search_tiled():
+    """Streaming single-device top-k over DB tiles == one-shot reference."""
+    from hypergen_tpu.parallel.search import local_topk_search_tiled
+
+    rng = np.random.default_rng(23)
+    M, N, D, K = 530, 16, 256, 7  # deliberately not tile-aligned
+    db = rng.integers(-40, 40, size=(M, D)).astype(np.int16)
+    dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    q = db[rng.integers(0, M, size=N)].copy()
+    qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    ani, idx = local_topk_search_tiled(
+        db, dbn, q, qn, ksize=21, k_top=K, tile_m=128, use_mxu=False
+    )
+    exp_ani, _ = _reference_topk(db, dbn, q, qn, 21, K)
+    np.testing.assert_allclose(ani, exp_ani, atol=2e-3)
+    assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
