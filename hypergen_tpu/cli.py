@@ -140,6 +140,15 @@ def run_sketch(args) -> None:
         sys.exit(1)
     done: dict = {}
     is_hgdb = str(args.out).endswith(".hgdb")
+
+    import jax
+
+    if jax.process_count() > 1:
+        if not is_hgdb:
+            log.error("multi-host sketching requires an .hgdb output")
+            sys.exit(1)
+        _run_sketch_pod(sp, files, args)
+        return
     if getattr(args, "resume", False) and is_hgdb and (
         Path(args.out) / "manifest.json"
     ).exists():
@@ -189,6 +198,43 @@ def run_sketch(args) -> None:
             "Dump sketch file to %s with size %.2f MB",
             args.out, size / 1024.0 / 1024.0,
         )
+
+
+def _run_sketch_pod(sp: SketchParams, files, args) -> None:
+    """Pod-mode sketching: host p sketches files[p::nproc] onto its local
+    devices and writes one DB shard; process 0 merges the manifest
+    (SURVEY 2.3: per-host input file shards)."""
+    import jax
+
+    from hypergen_tpu.io.sketch_db import (
+        dump_db_shard_part, merge_db_parts, sketches_to_db,
+    )
+    from hypergen_tpu.models.sketcher import Sketcher
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    mine = files[pid::nproc]
+    log.info("Pod sketch: process %d/%d takes %d of %d files",
+             pid, nproc, len(mine), len(files))
+    t0 = time.monotonic()
+    sketches = Sketcher(sp).sketch_files(mine)
+    dt = time.monotonic() - t0
+    log.info("Sketching %d files took %.2fs - Speed: %.1f files/s",
+             len(mine), dt, len(mine) / dt if dt > 0 else 0.0)
+    if sketches:
+        db = sketches_to_db(sketches)
+    else:  # more hosts than files: publish an empty part
+        from hypergen_tpu.io.sketch_db import ShardedDB
+
+        db = ShardedDB(
+            ksize=sp.ksize, scaled=sp.scaled, canonical=sp.canonical,
+            seed=sp.seed, hv_d=sp.hv_d, names=[],
+            hvs=np.zeros((0, sp.hv_d), np.int16),
+            norms=np.zeros((0,), np.int32),
+        )
+    dump_db_shard_part(db, args.out, pid, nproc)
+    if pid == 0:
+        merge_db_parts(args.out, nproc)
+        log.info("Merged %d DB parts into %s", nproc, args.out)
 
 
 def run_dist(args, top_k: int = 0) -> None:

@@ -270,3 +270,80 @@ def load_db_rows(path, lo: int, hi: int) -> ShardedDB:
         hvs=np.concatenate(hvs) if hvs else np.zeros((0, hv_d), np.int16),
         norms=np.concatenate(norms) if norms else np.zeros((0,), np.int32),
     )
+
+
+def dump_db_shard_part(
+    db: ShardedDB, out_dir, part_id: int, n_parts: int
+) -> None:
+    """Write one host's DB rows as a shard + part-manifest (pod sketching).
+
+    Every process of a multi-host sketch run writes its own rows; when all
+    parts are on the shared filesystem, merge_db_parts assembles the final
+    manifest. Part files are self-describing so a crashed run can be
+    resumed/merged later.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / f"shard_{part_id:05d}_hv.npy", db.hvs)
+    np.save(out / f"shard_{part_id:05d}_norm.npy", db.norms)
+    part = {
+        "part": part_id,
+        "n_parts": n_parts,
+        "ksize": db.ksize,
+        "scaled": db.scaled,
+        "canonical": db.canonical,
+        "seed": db.seed,
+        "hv_d": db.hv_d,
+        "names": db.names,
+        "n_rows": len(db.names),
+    }
+    tmp = out / f"manifest.part{part_id:05d}.json.tmp"
+    tmp.write_text(json.dumps(part))
+    tmp.rename(out / f"manifest.part{part_id:05d}.json")  # atomic publish
+
+
+def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0) -> None:
+    """Wait for all part manifests, then write the merged manifest.json.
+
+    Called by process 0 after dump_db_shard_part; parts become shards in
+    part order, global row ranges assigned by concatenation.
+    """
+    import time as _time
+
+    out = Path(out_dir)
+    deadline = _time.monotonic() + timeout_s
+    paths = [out / f"manifest.part{p:05d}.json" for p in range(n_parts)]
+    while not all(p.exists() for p in paths):
+        if _time.monotonic() > deadline:
+            missing = [str(p) for p in paths if not p.exists()]
+            raise TimeoutError(f"missing DB parts: {missing}")
+        _time.sleep(0.2)
+    parts = [json.loads(p.read_text()) for p in paths]
+    names: List[str] = []
+    shards = []
+    row = 0
+    for part in parts:
+        n = part["n_rows"]
+        shards.append(
+            {
+                "id": part["part"],
+                "rows": [row, row + n],
+                "hv": f"shard_{part['part']:05d}_hv.npy",
+                "norm": f"shard_{part['part']:05d}_norm.npy",
+            }
+        )
+        names.extend(part["names"])
+        row += n
+    p0 = parts[0]
+    manifest = {
+        "format": "hgdb-v1",
+        "ksize": p0["ksize"],
+        "scaled": p0["scaled"],
+        "canonical": p0["canonical"],
+        "seed": p0["seed"],
+        "hv_d": p0["hv_d"],
+        "n_genomes": row,
+        "names": names,
+        "shards": shards,
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1))

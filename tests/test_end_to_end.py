@@ -290,3 +290,39 @@ class TestDSweep:
             [seq.tobytes()], ksize=21, scaled=30, seed=123, hv_d=hv_d
         )
         np.testing.assert_array_equal(fs.decompress(), oracle["hv"])
+
+class TestAniQuality:
+    def test_ani_tracks_mutation_distance(self, tmp_path):
+        """BASELINE config 3 quality check: estimated ANI must decrease
+        monotonically with mutation rate and land near 100*(1-rate)."""
+        data = tmp_path / "q"
+        data.mkdir()
+        rng = np.random.default_rng(31)
+        base = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=60_000)
+        rates = [0.0, 0.01, 0.02, 0.04, 0.08]
+        for i, rate in enumerate(rates):
+            seq = base.copy()
+            f = rng.random(seq.size) < rate
+            seq[f] = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                size=int(f.sum()))
+            (data / f"m{i}.fna").write_bytes(b">m\n" + seq.tobytes() + b"\n")
+        out = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "100", "-d", "4096"])
+        tsv = tmp_path / "ani.tsv"
+        cli_main(["dist", "-r", str(out), "-q", str(out),
+                  "-o", str(tsv), "-a", "0.0"])
+        import pathlib
+
+        got = {}
+        for line in tsv.read_text().splitlines():
+            r, q, a = line.split("\t")
+            got[(pathlib.Path(r).name, pathlib.Path(q).name)] = float(a)
+        anis = [got.get(("m0.fna", f"m{i}.fna"), got.get((f"m{i}.fna", "m0.fna")))
+                for i in range(1, len(rates))]
+        # monotone decreasing with mutation rate
+        assert all(a > b for a, b in zip(anis, anis[1:])), anis
+        # within ~1 ANI point of the true identity; substitution with a
+        # uniform random base is silent 1/4 of the time
+        for rate, a in zip(rates[1:], anis):
+            assert abs(a - 100.0 * (1.0 - 0.75 * rate)) < 1.2, (rate, a)

@@ -161,3 +161,78 @@ def test_two_process_multihost_db_search(tmp_path):
         out, _ = p.communicate(timeout=300)
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"proc{pid} dbsearch ok" in out
+
+
+_WORKER_SKETCH = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+    data_dir, out_dir = sys.argv[4], sys.argv[5]
+    from hypergen_tpu.parallel.mesh import init_distributed
+    init_distributed(coord, nproc, pid)
+
+    from hypergen_tpu.cli import main as cli_main
+    cli_main(["sketch", "-p", data_dir, "-o", out_dir,
+              "-s", "30", "-d", "512"])
+    print(f"proc{pid} sketch ok", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_pod_sketch(tmp_path):
+    """Pod-mode sketch: per-host file shards -> merged .hgdb == a
+    single-process sketch of the same inputs (row order differs by
+    round-robin assignment; compared by name)."""
+    rng = np.random.default_rng(12)
+    data = tmp_path / "genomes"
+    data.mkdir()
+    for i in range(5):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=3000)
+        (data / f"g{i}.fna").write_bytes(b">g\n" + seq.tobytes() + b"\n")
+
+    out = tmp_path / "pod.hgdb"
+    port = _free_port()
+    script = tmp_path / "worker_sketch.py"
+    script.write_text(_WORKER_SKETCH)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2",
+             f"localhost:{port}", str(data), str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        o, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc{pid} failed:\n{o}"
+
+    # single-process reference
+    from hypergen_tpu.cli import main as cli_main
+    from hypergen_tpu.io.sketch_db import load_sharded_db
+
+    ref_out = tmp_path / "single.hgdb"
+    cli_main(["sketch", "-p", str(data), "-o", str(ref_out),
+              "-s", "30", "-d", "512"])
+    pod = load_sharded_db(out)
+    ref = load_sharded_db(ref_out)
+    assert sorted(pod.names) == sorted(ref.names)
+    for name in ref.names:
+        np.testing.assert_array_equal(
+            pod.hvs[pod.names.index(name)], ref.hvs[ref.names.index(name)]
+        )
+        assert int(pod.norms[pod.names.index(name)]) == int(
+            ref.norms[ref.names.index(name)]
+        )

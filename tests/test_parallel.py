@@ -128,3 +128,42 @@ def test_local_topk_search_tiled():
     exp_ani, _ = _reference_topk(db, dbn, q, qn, 21, K)
     np.testing.assert_allclose(ani, exp_ani, atol=2e-3)
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_gtdb_scale_sharded_search():
+    """BASELINE config 5 stand-in: ~50k-genome DB sharded over the mesh,
+    top-k >= 85% ANI hits merged with all_gather. Spot-checks planted
+    near-duplicates and random rows against the host reference chain."""
+    from hypergen_tpu.models.comparator import ani_f32_host
+    from hypergen_tpu.ops.ani import dot_i16_exact
+    from hypergen_tpu.parallel.mesh import make_mesh
+    from hypergen_tpu.parallel.search import sharded_topk_search
+
+    rng = np.random.default_rng(29)
+    M, N, D, K = 50_000, 16, 256, 10
+    db = rng.integers(-25, 25, size=(M, D)).astype(np.int16)
+    # plant one near-duplicate per query deep in the DB
+    q = db[rng.integers(0, M, size=N)].copy()
+    near_at = rng.integers(M // 2, M, size=N)
+    db[near_at] = q + rng.integers(-1, 2, q.shape).astype(np.int16)
+    dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
+
+    mesh = make_mesh(8, 1)
+    ani, idx = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
+    assert np.allclose(ani[:, 0], 100.0, atol=1e-2)  # exact self rows
+    # the planted near-duplicate must appear in the top-k
+    for i in range(N):
+        assert near_at[i] in idx[i], (i, near_at[i], idx[i])
+    # reported ANI values for one query's candidates match the host chain
+    import jax.numpy as jnp
+
+    i = 0
+    cand = idx[i]
+    dot = np.asarray(
+        dot_i16_exact(jnp.asarray(db[cand]), jnp.asarray(q[i : i + 1]),
+                      use_mxu=False)
+    )
+    exp = ani_f32_host(dot, dbn[cand], qn[i : i + 1], 21)[:, 0]
+    np.testing.assert_allclose(ani[i], exp, atol=2e-3)
