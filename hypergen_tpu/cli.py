@@ -244,8 +244,17 @@ def run_dist(args, top_k: int = 0) -> None:
         report_sparsity,
     )
 
+    import jax
+
     t0 = time.monotonic()
     if_sym = args.path_r == args.path_q
+    if (
+        jax.process_count() > 1
+        and Path(args.path_r).is_dir()
+        and args.ani_th >= 50.0
+    ):
+        _run_dist_pod(args, if_sym, t0)
+        return
     ref_db = _load_db(args.path_r)
     query_db = ref_db if if_sym else _load_db(args.path_q)
     if ref_db.ksize != query_db.ksize:
@@ -275,6 +284,86 @@ def run_dist(args, top_k: int = 0) -> None:
     log.info(
         "Computed ANIs for %d ref files and %d query files took %.3fs",
         len(ref_db.names), len(query_db.names), time.monotonic() - t0,
+    )
+
+
+def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
+    """Pod-mode dist: host p computes thresholded pairs for its own DB row
+    range against the full query set; process 0 merges the TSV. Each host
+    only loads its rows (load_db_rows) — the DB never materializes on one
+    host. Thresholded-only (the all-pairs table at pod scale would be the
+    dense D2H problem the threshold path exists to avoid)."""
+    import json
+
+    import jax
+
+    from hypergen_tpu.io.sketch_db import load_db_rows
+    from hypergen_tpu.models.comparator import (
+        Comparator, format_ani_report, report_sparsity,
+    )
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    manifest = json.loads((Path(args.path_r) / "manifest.json").read_text())
+    M = manifest["n_genomes"]
+    query_db = _load_db(args.path_q)
+    if manifest["ksize"] != query_db.ksize or manifest["hv_d"] != query_db.hv_d:
+        log.error("Ref and query sketch parameters mismatch!")
+        sys.exit(1)
+    lo = round(pid * M / nproc)
+    hi = round((pid + 1) * M / nproc)
+    ref_part = load_db_rows(args.path_r, lo, hi)
+    comp = Comparator(ksize=query_db.ksize)
+    # symmetric case: compute the full rectangle for this row range and
+    # filter i<j globally (row offsets make the global pair set exact)
+    ri, qi, ani, _ = comp.ani_pairs_thresholded(
+        ref_part, query_db, symmetric=False, threshold=args.ani_th
+    )
+    ri = ri + lo
+    if if_sym:
+        keep = ri < qi
+        ri, qi, ani = ri[keep], qi[keep], ani[keep]
+        n_total = M * (M - 1) // 2
+    else:
+        n_total = M * len(query_db.names)
+    out = Path(args.out)
+    part = out.with_suffix(out.suffix + f".part{pid:05d}.npz")
+    np.savez(part, ri=ri, qi=qi, ani=ani)
+    part_done = part.with_suffix(".done")
+    part_done.write_text("ok")
+    if pid != 0:
+        return
+    # process 0: wait for all parts, merge in global enumeration order
+    import time as _time
+
+    parts = [
+        out.with_suffix(out.suffix + f".part{p:05d}.npz") for p in range(nproc)
+    ]
+    deadline = _time.monotonic() + 600.0
+    while not all(
+        p.with_suffix(".done").exists() for p in parts
+    ):
+        if _time.monotonic() > deadline:
+            raise TimeoutError("missing dist parts")
+        _time.sleep(0.2)
+    rs, qs, asv = [], [], []
+    for p in parts:
+        z = np.load(p)
+        rs.append(z["ri"]); qs.append(z["qi"]); asv.append(z["ani"])
+    ri = np.concatenate(rs); qi = np.concatenate(qs)
+    ani = np.concatenate(asv)
+    order = np.lexsort((qi, ri))
+    ri, qi, ani = ri[order], qi[order], ani[order]
+    tsv, n_rep = format_ani_report(
+        manifest["names"], query_db.names, ri, qi, ani, args.ani_th
+    )
+    out.write_text(tsv)
+    for p in parts:
+        p.unlink(missing_ok=True)
+        p.with_suffix(".done").unlink(missing_ok=True)
+    report_sparsity(n_rep, n_total, args.ani_th)
+    log.info(
+        "Computed ANIs for %d ref files and %d query files took %.3fs",
+        M, len(query_db.names), time.monotonic() - t0,
     )
 
 

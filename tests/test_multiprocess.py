@@ -236,3 +236,69 @@ def test_two_process_pod_sketch(tmp_path):
         assert int(pod.norms[pod.names.index(name)]) == int(
             ref.norms[ref.names.index(name)]
         )
+
+
+_WORKER_DIST = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+    db_dir, out = sys.argv[4], sys.argv[5]
+    from hypergen_tpu.parallel.mesh import init_distributed
+    init_distributed(coord, nproc, pid)
+
+    from hypergen_tpu.cli import main as cli_main
+    cli_main(["dist", "-r", db_dir, "-q", db_dir, "-o", out, "-a", "60"])
+    print(f"proc{pid} dist ok", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_pod_dist(tmp_path):
+    """Pod-mode dist (per-host DB row ranges) == single-process TSV."""
+    from hypergen_tpu.io.sketch_db import ShardedDB, dump_sharded_db
+
+    rng = np.random.default_rng(41)
+    M, D = 31, 128
+    base = rng.integers(-25, 25, size=(1, D)).astype(np.int16)
+    hv = base + rng.integers(-3, 4, size=(M, D)).astype(np.int16)
+    norms = np.sum(hv.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    db = ShardedDB(ksize=21, scaled=30, canonical=True, seed=123, hv_d=D,
+                   names=[f"g{i}" for i in range(M)], hvs=hv, norms=norms)
+    db_dir = tmp_path / "db.hgdb"
+    dump_sharded_db(db, db_dir, n_shards=3)
+
+    out = tmp_path / "pod_ani.tsv"
+    port = _free_port()
+    script = tmp_path / "worker_dist.py"
+    script.write_text(_WORKER_DIST)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2",
+             f"localhost:{port}", str(db_dir), str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        o, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc{pid} failed:\n{o}"
+
+    from hypergen_tpu.cli import main as cli_main
+
+    ref_out = tmp_path / "single_ani.tsv"
+    cli_main(["dist", "-r", str(db_dir), "-q", str(db_dir),
+              "-o", str(ref_out), "-a", "60"])
+    assert out.read_text() == ref_out.read_text()
+    assert out.read_text().strip(), "expected some pairs above 60"
