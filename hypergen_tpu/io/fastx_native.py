@@ -64,3 +64,32 @@ def read_genome_codes(path) -> np.ndarray:
     finally:
         lib.hg_free(out)
     return codes
+
+
+def _load_pack(lib):
+    if not hasattr(lib, "hg_pack_codes"):
+        raise ImportError("libfastx.so lacks hg_pack_codes (rebuild native/)")
+    lib.hg_pack_codes.restype = ctypes.c_longlong
+    lib.hg_pack_codes.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_longlong,
+    ]
+    return lib.hg_pack_codes
+
+
+def pack_codes_runs(codes: np.ndarray, padded_len: int, run_cap: int):
+    """Native (packed2, runs, n_runs) — same contract as
+    models.sketcher.pack_codes_runs; ~5x the numpy pack's speed and no
+    intermediate 4x-size temporaries."""
+    lib = _load()
+    fn = _load_pack(lib)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    packed2 = np.empty(padded_len // 4, dtype=np.uint8)
+    runs = np.zeros((run_cap, 2), dtype=np.int32)
+    n_runs = fn(codes, codes.shape[0], padded_len, packed2,
+                runs.reshape(-1), run_cap)
+    return packed2, runs, int(n_runs)

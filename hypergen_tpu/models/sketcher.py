@@ -114,6 +114,25 @@ def find_invalid_runs(codes: np.ndarray, genome_len: int, padded_len: int) -> np
     return runs
 
 
+_NATIVE_PACK = None
+_NATIVE_PACK_TRIED = False
+
+
+def _native_pack():
+    global _NATIVE_PACK, _NATIVE_PACK_TRIED
+    if not _NATIVE_PACK_TRIED:
+        _NATIVE_PACK_TRIED = True
+        try:
+            from hypergen_tpu.io.fastx_native import pack_codes_runs as f
+
+            # probe once; any failure -> permanent numpy fallback
+            f(np.zeros(8, np.uint8), 8, 4)
+            _NATIVE_PACK = f
+        except Exception:
+            _NATIVE_PACK = None
+    return _NATIVE_PACK
+
+
 def pack_codes_runs(
     codes: np.ndarray, padded_len: int, run_cap: int
 ) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -122,7 +141,11 @@ def pack_codes_runs(
     Returns (packed2 [padded_len/4] u8, runs [run_cap, 2] i32 zero-padded,
     n_runs). n_runs > run_cap means the run list did not fit: caller must
     fall back to the dense-mask variant (correctness is never traded).
+    Uses the C++ packer (native/fastx.cpp hg_pack_codes) when available.
     """
+    native = _native_pack()
+    if native is not None:
+        return native(codes, padded_len, run_cap)
     L = codes.shape[0]
     n = min(L, padded_len)
     buf = np.full(padded_len, INVALID, dtype=np.uint8)

@@ -152,4 +152,57 @@ long long hg_read_genome_codes(const char* path, uint8_t** out,
 
 void hg_free(uint8_t* p) { free(p); }
 
+// Pack base codes to the device input format: 2-bit codes (4 per byte,
+// little-endian within the byte) + invalid-run list [(start, end), ...].
+// codes beyond n (up to padded_len) are treated as invalid padding.
+// Returns the TRUE number of invalid runs; only min(n_runs, runs_cap)
+// entries are written to runs (caller falls back to a dense mask if the
+// cap was exceeded — packing itself is always complete and exact).
+// padded_len must be a multiple of 4; packed2 must hold padded_len/4 bytes.
+long long hg_pack_codes(const uint8_t* codes, long long n,
+                        long long padded_len, uint8_t* packed2,
+                        int32_t* runs, long long runs_cap) {
+  if (n > padded_len) n = padded_len;
+  const long long nb = padded_len / 4;
+  const long long full = n / 4;  // byte index below which all 4 codes real
+  for (long long b = 0; b < full; b++) {
+    const uint8_t* c = codes + 4 * b;
+    packed2[b] = static_cast<uint8_t>((c[0] & 3) | ((c[1] & 3) << 2) |
+                                      ((c[2] & 3) << 4) | ((c[3] & 3) << 6));
+  }
+  for (long long b = full; b < nb; b++) {
+    uint8_t v = 0;
+    for (int j = 0; j < 4; j++) {
+      long long i = 4 * b + j;
+      uint8_t code = (i < n) ? codes[i] : INVALID;
+      v = static_cast<uint8_t>(v | ((code & 3) << (2 * j)));
+    }
+    packed2[b] = v;
+  }
+  // invalid-run extraction (tail padding merged into a trailing run)
+  long long n_runs = 0;
+  long long run_start = -1;
+  for (long long i = 0; i < n; i++) {
+    bool inv = codes[i] >= INVALID;
+    if (inv && run_start < 0) run_start = i;
+    if (!inv && run_start >= 0) {
+      if (n_runs < runs_cap) {
+        runs[2 * n_runs] = static_cast<int32_t>(run_start);
+        runs[2 * n_runs + 1] = static_cast<int32_t>(i);
+      }
+      n_runs++;
+      run_start = -1;
+    }
+  }
+  if (run_start < 0 && n < padded_len) run_start = n;  // pure-padding run
+  if (run_start >= 0) {
+    if (n_runs < runs_cap) {
+      runs[2 * n_runs] = static_cast<int32_t>(run_start);
+      runs[2 * n_runs + 1] = static_cast<int32_t>(padded_len);
+    }
+    n_runs++;
+  }
+  return n_runs;
+}
+
 }  // extern "C"

@@ -66,3 +66,33 @@ def test_fastx_dispatch_uses_native(tmp_path):
     p.write_bytes(CASES[0])
     got = fastx.read_genome_codes(p)
     np.testing.assert_array_equal(got, _py(p))
+
+
+class TestNativePack:
+    def test_native_pack_matches_numpy(self):
+        import hypergen_tpu.models.sketcher as sk
+        from hypergen_tpu.io.fastx_native import pack_codes_runs as native_pack
+
+        rng = np.random.default_rng(13)
+        for L, P, cap in [(50, 56, 16), (8191, 8192, 64), (10_000, 10_240, 128)]:
+            codes = rng.integers(0, 6, size=L, dtype=np.uint8)
+            codes[100:130] = 4  # a guaranteed run
+            p2_n, runs_n, nr_n = native_pack(codes, P, cap)
+            # force the numpy path for the reference result
+            saved = sk._NATIVE_PACK, sk._NATIVE_PACK_TRIED
+            sk._NATIVE_PACK, sk._NATIVE_PACK_TRIED = None, True
+            try:
+                p2_p, runs_p, nr_p = sk.pack_codes_runs(codes, P, cap)
+            finally:
+                sk._NATIVE_PACK, sk._NATIVE_PACK_TRIED = saved
+            np.testing.assert_array_equal(p2_n, p2_p)
+            np.testing.assert_array_equal(runs_n, runs_p)
+            assert nr_n == nr_p
+
+    def test_native_pack_cap_overflow_reports_true_count(self):
+        from hypergen_tpu.io.fastx_native import pack_codes_runs as native_pack
+
+        codes = np.tile(np.array([0, 4], np.uint8), 50)  # 50 runs
+        _, runs, n_runs = native_pack(codes, 104, 8)
+        assert n_runs > 8
+        assert (runs[:8] > 0).any()
