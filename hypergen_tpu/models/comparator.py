@@ -179,21 +179,24 @@ def _ani_pairs_thresholded(
     out_i: List[np.ndarray] = []
     out_j: List[np.ndarray] = []
     out_a: List[np.ndarray] = []
-    for bi, mi in enumerate(range(0, M, tm)):
-        if ref_blocks is not None:
-            r_dev, nr_dev = ref_blocks[bi]
-        else:
-            r_dev = jnp.asarray(_pad_rows(ref_db.hvs[mi : mi + tm], tm))
-            nr_dev = jnp.asarray(_pad_rows(ref_db.norms[mi : mi + tm], tm))
-        for nj in range(0, N, tn):
-            q_blk = _pad_rows(query_db.hvs[nj : nj + tn], tn)
-            nq_blk = _pad_rows(query_db.norms[nj : nj + tn], tn)
+    # query tiles outer so each query block crosses H2D once, not once per
+    # DB row tile (H2D through the chip tunnel dominates everything else)
+    if ref_blocks is None and N > tn:
+        ref_blocks = comp.preload_ref(ref_db)  # avoid re-upload per q tile
+    for nj in range(0, N, tn):
+        q_dev = jnp.asarray(_pad_rows(query_db.hvs[nj : nj + tn], tn))
+        nq_dev = jnp.asarray(_pad_rows(query_db.norms[nj : nj + tn], tn))
+        for bi, mi in enumerate(range(0, M, tm)):
+            if ref_blocks is not None:
+                r_dev, nr_dev = ref_blocks[bi]
+            else:
+                r_dev = jnp.asarray(_pad_rows(ref_db.hvs[mi : mi + tm], tm))
+                nr_dev = jnp.asarray(_pad_rows(ref_db.norms[mi : mi + tm], tm))
             cap = comp.compact_cap0
             while True:
                 cnt, idx, dot = jax.device_get(
                     dot_threshold_compact(
-                        r_dev, nr_dev, jnp.asarray(q_blk),
-                        jnp.asarray(nq_blk), thr, comp.ksize, cap,
+                        r_dev, nr_dev, q_dev, nq_dev, thr, comp.ksize, cap,
                         use_mxu=comp.use_mxu,
                     )
                 )
