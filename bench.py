@@ -91,6 +91,48 @@ def bench_sketch():
     }
 
 
+def bench_device_step():
+    """Device-pipeline throughput with inputs already resident: what the
+    chip itself sustains once the host/tunnel transfer is overlapped or
+    amortized (the per-chip number for multi-chip projections)."""
+    import jax
+
+    from hypergen_tpu.models.sketcher import (
+        make_sketch_step, pack_codes_runs, split_step_output,
+    )
+    from hypergen_tpu.params import SketchParams, fracminhash_threshold
+
+    p = SketchParams()
+    B, NC, C = 8, 32, 1 << 17
+    L_ext = NC * C + p.ksize - 1
+    L_pad = -(-L_ext // 8) * 8
+    enc_cap = -(-(3 * (NC * C // p.scaled) + 512) // 256) * 256
+    step = make_sketch_step(
+        ksize=p.ksize, seed=p.seed, threshold=fracminhash_threshold(p.scaled),
+        hv_d=p.hv_d, batch=B, n_chunks=NC, chunk_positions=C, chunk_cap=8,
+        enc_cap=enc_cap, encode_block=512, extract_block=512,
+        use_pallas=True, validity="runs",
+    )
+    rng = np.random.default_rng(7)
+    ins = []
+    for _ in range(4):
+        p2 = np.empty((B, L_pad // 4), np.uint8)
+        runs = np.zeros((B, 512, 2), np.int32)
+        for i in range(B):
+            p2[i], runs[i], _ = pack_codes_runs(
+                rng.integers(0, 4, size=L_ext, dtype=np.uint8), L_pad, 512
+            )
+        ins.append((jax.device_put(p2), jax.device_put(runs)))
+    split_step_output(jax.device_get(step(*ins[0])))  # compile + settle
+    times = []
+    for d in ins:
+        t0 = time.monotonic()
+        split_step_output(jax.device_get(step(*d)))
+        times.append(time.monotonic() - t0)
+    med = float(np.median(times))
+    return {"device_step_genomes_per_sec": B / med}
+
+
 def bench_ani():
     import jax
     import jax.numpy as jnp
@@ -182,6 +224,7 @@ def main():
     enable_compilation_cache()
     backend = jax.default_backend()
     sk = bench_sketch()
+    dev = bench_device_step()
     an = bench_ani()
     value = round(sk["genomes_per_sec"], 3)
     out = {
@@ -194,6 +237,9 @@ def main():
             "genomes_per_sec_wall": round(sk["genomes_per_sec_wall"], 3),
             "bp_per_sec": round(sk["bp_per_sec"], 0),
             "mean_hashes_per_genome": round(sk["mean_hashes_per_genome"], 1),
+            "device_step_genomes_per_sec": round(
+                dev["device_step_genomes_per_sec"], 3
+            ),
             "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
             "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),
             "ani_dist85_pairs_per_sec": round(an["dist85_pairs_per_sec"], 0),

@@ -66,11 +66,20 @@ def read_genome_codes(path) -> np.ndarray:
     return codes
 
 
+_pack_fn = None
+
+
 def _load_pack(lib):
+    # configure argtypes exactly once: reassigning them while another
+    # thread is mid-call races inside ctypes (the pack pool is threaded)
+    global _pack_fn
+    if _pack_fn is not None:
+        return _pack_fn
     if not hasattr(lib, "hg_pack_codes"):
         raise ImportError("libfastx.so lacks hg_pack_codes (rebuild native/)")
-    lib.hg_pack_codes.restype = ctypes.c_longlong
-    lib.hg_pack_codes.argtypes = [
+    fn = lib.hg_pack_codes
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_longlong,
         ctypes.c_longlong,
@@ -78,12 +87,13 @@ def _load_pack(lib):
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_longlong,
     ]
-    return lib.hg_pack_codes
+    _pack_fn = fn
+    return fn
 
 
 def pack_codes_runs(codes: np.ndarray, padded_len: int, run_cap: int):
     """Native (packed2, runs, n_runs) — same contract as
-    models.sketcher.pack_codes_runs; ~5x the numpy pack's speed and no
+    models.sketcher.pack_codes_runs; one C pass, releases the GIL, no
     intermediate 4x-size temporaries."""
     lib = _load()
     fn = _load_pack(lib)
