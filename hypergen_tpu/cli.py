@@ -147,6 +147,9 @@ def run_sketch(args) -> None:
         if not is_hgdb:
             log.error("multi-host sketching requires an .hgdb output")
             sys.exit(1)
+        if getattr(args, "resume", False):
+            log.error("--resume is not supported in multi-host sketching yet")
+            sys.exit(1)
         _run_sketch_pod(sp, files, args)
         return
     if getattr(args, "resume", False) and is_hgdb and (
@@ -155,8 +158,12 @@ def run_sketch(args) -> None:
         from hypergen_tpu.io.sketch_db import load_sharded_db
 
         prev = load_sharded_db(args.out)
-        if (prev.ksize, prev.scaled, prev.seed, prev.hv_d) != (
-            sp.ksize, sp.scaled, sp.seed, sp.hv_d
+        if (
+            prev.ksize, prev.scaled, prev.seed, prev.hv_d,
+            prev.canonical, prev.sketch_method,
+        ) != (
+            sp.ksize, sp.scaled, sp.seed, sp.hv_d,
+            sp.canonical, sp.sketch_method,
         ):
             log.error("--resume: existing DB has different sketch params")
             sys.exit(1)
@@ -187,9 +194,11 @@ def run_sketch(args) -> None:
                 hvs=np.concatenate([prev.hvs, new.hvs]) if new else prev.hvs,
                 norms=np.concatenate([prev.norms, new.norms])
                 if new else prev.norms,
+                sketch_method=prev.sketch_method,
             )
         else:
             db = sketches_to_db(sketches)
+            db.sketch_method = sp.sketch_method
         dump_sharded_db(db, args.out, n_shards=args.shards)
         log.info("Dump sharded DB to %s", args.out)
     else:
@@ -210,7 +219,9 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
         dump_db_shard_part, merge_db_parts, sketches_to_db,
     )
     from hypergen_tpu.models.sketcher import Sketcher
+    from hypergen_tpu.parallel.mesh import shared_run_token
 
+    token = shared_run_token()  # guards the merge against stale parts
     pid, nproc = jax.process_index(), jax.process_count()
     mine = files[pid::nproc]
     log.info("Pod sketch: process %d/%d takes %d of %d files",
@@ -222,6 +233,7 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
              len(mine), dt, len(mine) / dt if dt > 0 else 0.0)
     if sketches:
         db = sketches_to_db(sketches)
+        db.sketch_method = sp.sketch_method
     else:  # more hosts than files: publish an empty part
         from hypergen_tpu.io.sketch_db import ShardedDB
 
@@ -230,10 +242,11 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
             seed=sp.seed, hv_d=sp.hv_d, names=[],
             hvs=np.zeros((0, sp.hv_d), np.int16),
             norms=np.zeros((0,), np.int32),
+            sketch_method=sp.sketch_method,
         )
-    dump_db_shard_part(db, args.out, pid, nproc)
+    dump_db_shard_part(db, args.out, pid, nproc, token=token)
     if pid == 0:
-        merge_db_parts(args.out, nproc)
+        merge_db_parts(args.out, nproc, token=token)
         log.info("Merged %d DB parts into %s", nproc, args.out)
 
 
@@ -248,13 +261,21 @@ def run_dist(args, top_k: int = 0) -> None:
 
     t0 = time.monotonic()
     if_sym = args.path_r == args.path_q
-    if (
-        jax.process_count() > 1
-        and Path(args.path_r).is_dir()
-        and args.ani_th >= 50.0
-    ):
-        _run_dist_pod(args, if_sym, t0)
-        return
+    if jax.process_count() > 1:
+        if Path(args.path_r).is_dir() and args.ani_th >= 50.0:
+            _run_dist_pod(args, if_sym, t0)
+            return
+        # no pod path for this shape: run on process 0 only (running the
+        # identical single-process computation on every host would race
+        # concurrent writes of the same output file)
+        if jax.process_index() != 0:
+            log.info("dist: non-pod shape, process %d idle",
+                     jax.process_index())
+            return
+        log.warning(
+            "dist: threshold < 50 or non-.hgdb ref disables the pod path; "
+            "computing on process 0 only"
+        )
     ref_db = _load_db(args.path_r)
     query_db = ref_db if if_sym else _load_db(args.path_q)
     if ref_db.ksize != query_db.ksize:
@@ -289,10 +310,11 @@ def run_dist(args, top_k: int = 0) -> None:
 
 def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     """Pod-mode dist: host p computes thresholded pairs for its own DB row
-    range against the full query set; process 0 merges the TSV. Each host
-    only loads its rows (load_db_rows) — the DB never materializes on one
-    host. Thresholded-only (the all-pairs table at pod scale would be the
-    dense D2H problem the threshold path exists to avoid)."""
+    range; process 0 merges the TSV. Each host loads only its ref rows
+    (load_db_rows) and, when the query side is also an .hgdb, streams query
+    rows in bounded chunks — neither side fully materializes on one host.
+    Thresholded-only (the all-pairs table at pod scale would be the dense
+    D2H problem the threshold path exists to avoid)."""
     import json
 
     import jax
@@ -301,47 +323,75 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     from hypergen_tpu.models.comparator import (
         Comparator, format_ani_report, report_sparsity,
     )
+    from hypergen_tpu.parallel.mesh import shared_run_token
 
+    token = shared_run_token()
     pid, nproc = jax.process_index(), jax.process_count()
     manifest = json.loads((Path(args.path_r) / "manifest.json").read_text())
     M = manifest["n_genomes"]
-    query_db = _load_db(args.path_q)
-    if manifest["ksize"] != query_db.ksize or manifest["hv_d"] != query_db.hv_d:
+    q_is_hgdb = Path(args.path_q).is_dir()
+    if q_is_hgdb:
+        q_manifest = json.loads(
+            (Path(args.path_q) / "manifest.json").read_text()
+        )
+        q_names, q_ksize, q_hvd = (
+            q_manifest["names"], q_manifest["ksize"], q_manifest["hv_d"],
+        )
+    else:
+        query_full = _load_db(args.path_q)
+        q_names, q_ksize, q_hvd = (
+            query_full.names, query_full.ksize, query_full.hv_d,
+        )
+    if manifest["ksize"] != q_ksize or manifest["hv_d"] != q_hvd:
         log.error("Ref and query sketch parameters mismatch!")
         sys.exit(1)
+    N = len(q_names)
     lo = round(pid * M / nproc)
     hi = round((pid + 1) * M / nproc)
     ref_part = load_db_rows(args.path_r, lo, hi)
-    comp = Comparator(ksize=query_db.ksize)
-    # symmetric case: compute the full rectangle for this row range and
-    # filter i<j globally (row offsets make the global pair set exact)
-    ri, qi, ani, _ = comp.ani_pairs_thresholded(
-        ref_part, query_db, symmetric=False, threshold=args.ani_th
-    )
-    ri = ri + lo
+    comp = Comparator(ksize=q_ksize)
+    ref_blocks = comp.preload_ref(ref_part)
+    Q_CHUNK = 8192  # bounds per-host query memory when streaming from .hgdb
+    rs, qs, asv = [], [], []
+    for qlo in range(0, N, Q_CHUNK):
+        qhi = min(qlo + Q_CHUNK, N)
+        q_part = (
+            load_db_rows(args.path_q, qlo, qhi)
+            if q_is_hgdb else _slice_db(query_full, qlo, qhi)
+        )
+        # symmetric case: full rectangle for this row range; i<j filtered
+        # globally below (row offsets make the global pair set exact)
+        ri, qi, ani, _ = comp.ani_pairs_thresholded(
+            ref_part, q_part, symmetric=False, threshold=args.ani_th,
+            ref_blocks=ref_blocks,
+        )
+        rs.append(ri + lo)
+        qs.append(qi + qlo)
+        asv.append(ani)
+    ri = np.concatenate(rs) if rs else np.zeros(0, np.int64)
+    qi = np.concatenate(qs) if qs else np.zeros(0, np.int64)
+    ani = np.concatenate(asv) if asv else np.zeros(0, np.float32)
     if if_sym:
         keep = ri < qi
         ri, qi, ani = ri[keep], qi[keep], ani[keep]
         n_total = M * (M - 1) // 2
     else:
-        n_total = M * len(query_db.names)
+        n_total = M * N
     out = Path(args.out)
-    part = out.with_suffix(out.suffix + f".part{pid:05d}.npz")
+    part = out.with_suffix(out.suffix + f".part{pid:05d}.{token}.npz")
     np.savez(part, ri=ri, qi=qi, ani=ani)
-    part_done = part.with_suffix(".done")
-    part_done.write_text("ok")
+    part.with_suffix(".done").write_text("ok")
     if pid != 0:
         return
-    # process 0: wait for all parts, merge in global enumeration order
+    # process 0: wait for this run's parts, merge in enumeration order
     import time as _time
 
     parts = [
-        out.with_suffix(out.suffix + f".part{p:05d}.npz") for p in range(nproc)
+        out.with_suffix(out.suffix + f".part{p:05d}.{token}.npz")
+        for p in range(nproc)
     ]
     deadline = _time.monotonic() + 600.0
-    while not all(
-        p.with_suffix(".done").exists() for p in parts
-    ):
+    while not all(p.with_suffix(".done").exists() for p in parts):
         if _time.monotonic() > deadline:
             raise TimeoutError("missing dist parts")
         _time.sleep(0.2)
@@ -354,7 +404,7 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     order = np.lexsort((qi, ri))
     ri, qi, ani = ri[order], qi[order], ani[order]
     tsv, n_rep = format_ani_report(
-        manifest["names"], query_db.names, ri, qi, ani, args.ani_th
+        manifest["names"], q_names, ri, qi, ani, args.ani_th
     )
     out.write_text(tsv)
     for p in parts:
@@ -363,7 +413,16 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     report_sparsity(n_rep, n_total, args.ani_th)
     log.info(
         "Computed ANIs for %d ref files and %d query files took %.3fs",
-        M, len(query_db.names), time.monotonic() - t0,
+        M, N, time.monotonic() - t0,
+    )
+
+
+def _slice_db(db, lo: int, hi: int):
+    """Row-slice view of a ShardedDB (query streaming for non-.hgdb input)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        db, names=db.names[lo:hi], hvs=db.hvs[lo:hi], norms=db.norms[lo:hi]
     )
 
 

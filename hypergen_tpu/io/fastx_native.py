@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -67,28 +68,35 @@ def read_genome_codes(path) -> np.ndarray:
 
 
 _pack_fn = None
+_pack_lock = threading.Lock()
 
 
 def _load_pack(lib):
-    # configure argtypes exactly once: reassigning them while another
-    # thread is mid-call races inside ctypes (the pack pool is threaded)
+    # configure argtypes exactly once, under a lock: reassigning them while
+    # another thread is mid-call races inside ctypes (the pack pool calls
+    # this from up to 8 threads on first use)
     global _pack_fn
     if _pack_fn is not None:
         return _pack_fn
-    if not hasattr(lib, "hg_pack_codes"):
-        raise ImportError("libfastx.so lacks hg_pack_codes (rebuild native/)")
-    fn = lib.hg_pack_codes
-    fn.restype = ctypes.c_longlong
-    fn.argtypes = [
-        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-        ctypes.c_longlong,
-        ctypes.c_longlong,
-        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ctypes.c_longlong,
-    ]
-    _pack_fn = fn
-    return fn
+    with _pack_lock:
+        if _pack_fn is not None:
+            return _pack_fn
+        if not hasattr(lib, "hg_pack_codes"):
+            raise ImportError(
+                "libfastx.so lacks hg_pack_codes (rebuild native/)"
+            )
+        fn = lib.hg_pack_codes
+        fn.restype = ctypes.c_longlong
+        fn.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+        ]
+        _pack_fn = fn
+    return _pack_fn
 
 
 def pack_codes_runs(codes: np.ndarray, padded_len: int, run_cap: int):

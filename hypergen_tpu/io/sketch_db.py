@@ -149,6 +149,10 @@ class ShardedDB:
     names: List[str]
     hvs: np.ndarray  # int16 [n, hv_d]
     norms: np.ndarray  # int32 [n]
+    # hash method used at sketch time; the reference's .sketch format has no
+    # such field (FileSketch, reference:src/types.rs:224-235), but the .hgdb
+    # manifest records it so resume/dist can reject mixed-method DBs
+    sketch_method: str = "t1ha2"
 
 
 def dump_sharded_db(db: ShardedDB, out_dir, n_shards: int = 1) -> None:
@@ -177,6 +181,7 @@ def dump_sharded_db(db: ShardedDB, out_dir, n_shards: int = 1) -> None:
         "canonical": db.canonical,
         "seed": db.seed,
         "hv_d": db.hv_d,
+        "sketch_method": db.sketch_method,
         "n_genomes": n,
         "names": db.names,
         "shards": shards,
@@ -204,6 +209,7 @@ def load_sharded_db(path, shard_ids: Optional[List[int]] = None) -> ShardedDB:
         names=names,
         hvs=np.concatenate(hvs) if hvs else np.zeros((0, manifest["hv_d"]), np.int16),
         norms=np.concatenate(norms) if norms else np.zeros((0,), np.int32),
+        sketch_method=manifest.get("sketch_method", "t1ha2"),
     )
 
 
@@ -269,11 +275,12 @@ def load_db_rows(path, lo: int, hi: int) -> ShardedDB:
         names=manifest["names"][lo:hi],
         hvs=np.concatenate(hvs) if hvs else np.zeros((0, hv_d), np.int16),
         norms=np.concatenate(norms) if norms else np.zeros((0,), np.int32),
+        sketch_method=manifest.get("sketch_method", "t1ha2"),
     )
 
 
 def dump_db_shard_part(
-    db: ShardedDB, out_dir, part_id: int, n_parts: int
+    db: ShardedDB, out_dir, part_id: int, n_parts: int, token: str = ""
 ) -> None:
     """Write one host's DB rows as a shard + part-manifest (pod sketching).
 
@@ -294,25 +301,37 @@ def dump_db_shard_part(
         "canonical": db.canonical,
         "seed": db.seed,
         "hv_d": db.hv_d,
+        "sketch_method": db.sketch_method,
         "names": db.names,
         "n_rows": len(db.names),
     }
-    tmp = out / f"manifest.part{part_id:05d}.json.tmp"
+    name = f"manifest.part{part_id:05d}.{token}.json" if token else \
+        f"manifest.part{part_id:05d}.json"
+    tmp = out / (name + ".tmp")
     tmp.write_text(json.dumps(part))
-    tmp.rename(out / f"manifest.part{part_id:05d}.json")  # atomic publish
+    tmp.rename(out / name)  # atomic publish
 
 
-def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0) -> None:
+def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
+                   token: str = "") -> None:
     """Wait for all part manifests, then write the merged manifest.json.
 
     Called by process 0 after dump_db_shard_part; parts become shards in
-    part order, global row ranges assigned by concatenation.
+    part order, global row ranges assigned by concatenation. When a run
+    token is given, only parts published with the SAME token are accepted —
+    stale parts from a previous crashed run in the same directory are
+    ignored (and cleaned up after the merge).
     """
     import time as _time
 
     out = Path(out_dir)
     deadline = _time.monotonic() + timeout_s
-    paths = [out / f"manifest.part{p:05d}.json" for p in range(n_parts)]
+    if token:
+        paths = [
+            out / f"manifest.part{p:05d}.{token}.json" for p in range(n_parts)
+        ]
+    else:
+        paths = [out / f"manifest.part{p:05d}.json" for p in range(n_parts)]
     while not all(p.exists() for p in paths):
         if _time.monotonic() > deadline:
             missing = [str(p) for p in paths if not p.exists()]
@@ -342,8 +361,11 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0) -> None:
         "canonical": p0["canonical"],
         "seed": p0["seed"],
         "hv_d": p0["hv_d"],
+        "sketch_method": p0.get("sketch_method", "t1ha2"),
         "n_genomes": row,
         "names": names,
         "shards": shards,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    for p_ in paths:  # tidy this run's part manifests (merged above)
+        p_.unlink(missing_ok=True)

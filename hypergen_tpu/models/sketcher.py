@@ -52,6 +52,22 @@ log = logging.getLogger("hypergen")
 _SENT = np.uint32(0xFFFFFFFF)
 
 
+def _pad_and_pack2bit(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(INVALID-padded buffer, 2-bit packed bytes) for a code array.
+
+    2-bit pack via u32 words: byte i of word w holds code c_i; the four
+    2-bit fields fold into the low byte (c0 | c1<<2 | c2<<4 | c3<<6).
+    """
+    n = min(codes.shape[0], padded_len)
+    buf = np.full(padded_len, INVALID, dtype=np.uint8)
+    buf[:n] = codes[:n]
+    w = buf.view(np.uint32)
+    t = w & np.uint32(0x03030303)
+    t |= t >> np.uint32(6)
+    t |= t >> np.uint32(12)
+    return buf, np.ascontiguousarray(t.view(np.uint8)[::4])
+
+
 def pack_codes(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side 2-bit base + validity bitmask packing (3.2x H2D reduction).
 
@@ -59,17 +75,7 @@ def pack_codes(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarr
     (packed2 [padded_len/4] u8, packedv [padded_len/8] u8); padding is
     invalid. padded_len must be a multiple of 8.
     """
-    L = codes.shape[0]
-    n = min(L, padded_len)
-    buf = np.full(padded_len, INVALID, dtype=np.uint8)
-    buf[:n] = codes[:n]
-    # 2-bit pack via u32 words: byte i of word w holds code c_i; fold the
-    # four 2-bit fields into the low byte (c0 | c1<<2 | c2<<4 | c3<<6)
-    w = buf.view(np.uint32)
-    t = w & np.uint32(0x03030303)
-    t |= t >> np.uint32(6)
-    t |= t >> np.uint32(12)
-    packed2 = np.ascontiguousarray(t.view(np.uint8)[::4])
+    buf, packed2 = _pad_and_pack2bit(codes, padded_len)
     packedv = np.packbits(buf < INVALID, bitorder="little")
     return packed2, packedv
 
@@ -146,15 +152,8 @@ def pack_codes_runs(
     native = _native_pack()
     if native is not None:
         return native(codes, padded_len, run_cap)
-    L = codes.shape[0]
-    n = min(L, padded_len)
-    buf = np.full(padded_len, INVALID, dtype=np.uint8)
-    buf[:n] = codes[:n]
-    w = buf.view(np.uint32)
-    t = w & np.uint32(0x03030303)
-    t |= t >> np.uint32(6)
-    t |= t >> np.uint32(12)
-    packed2 = np.ascontiguousarray(t.view(np.uint8)[::4])
+    n = min(codes.shape[0], padded_len)
+    _, packed2 = _pad_and_pack2bit(codes, padded_len)
     runs = find_invalid_runs(codes, n, padded_len)
     n_runs = runs.shape[0]
     out = np.zeros((run_cap, 2), dtype=np.int32)

@@ -54,3 +54,20 @@ def init_distributed(coordinator: str = "", num_processes: int = 0,
             process_id, num_processes,
             jax.local_device_count(), jax.device_count(),
         )
+
+
+def shared_run_token() -> str:
+    """A random token agreed by all processes (broadcast from process 0).
+
+    Used to tag per-host part files so a merge never picks up stale parts
+    left by a previous crashed run in the same output directory.
+    """
+    import os
+
+    if jax.process_count() == 1:
+        return os.urandom(8).hex()
+    from jax.experimental import multihost_utils
+
+    local = np.frombuffer(os.urandom(8), dtype=np.uint64).copy()
+    tok = multihost_utils.broadcast_one_to_all(local)
+    return int(tok[0]).to_bytes(8, "little").hex()

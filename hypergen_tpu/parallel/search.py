@@ -225,6 +225,7 @@ def local_topk_search_tiled(
         use_mxu = jax.default_backend() == "tpu"
     import jax.numpy as _jnp
 
+    tile_m = max(tile_m, k_top)  # top_k needs >= k_top candidates per tile
     M, N = db_hv.shape[0], q_hv.shape[0]
     q_dev = _jnp.asarray(q_hv)
     qn_dev = _jnp.asarray(q_norm)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hypergen_tpu.models.sketcher import make_sketch_step, pack_codes
+from hypergen_tpu.models.sketcher import make_sketch_step, pack_codes, split_step_output
 from hypergen_tpu.params import SketchParams, fracminhash_threshold
 from hypergen_tpu.utils.jaxcache import enable_compilation_cache
 
@@ -44,7 +44,7 @@ for _ in range(N):
 
 # warmup compile
 out = step(jnp.asarray(host_in[0][0]), jnp.asarray(host_in[0][1]))
-jax.block_until_ready(out["hv"])
+jax.block_until_ready(out)
 
 # --- H2D only -------------------------------------------------------------
 t0 = time.monotonic()
@@ -60,14 +60,14 @@ print(f"H2D per batch ({(host_in[0][0].nbytes+host_in[0][1].nbytes)/1e6:.1f} MB)
 t0 = time.monotonic()
 for d2, dv in dev_in:
     out = step(d2, dv)
-    jax.block_until_ready(out["hv"])
+    jax.block_until_ready(out)
 t_step = (time.monotonic() - t0) / N
 print(f"step on resident args (serialized): {t_step*1e3:.1f} ms")
 
 # --- same but pipelined (async dispatch) -----------------------------------
 t0 = time.monotonic()
 outs = [step(d2, dv) for d2, dv in dev_in]
-jax.block_until_ready([o["hv"] for o in outs])
+jax.block_until_ready(outs)
 t_pipe = (time.monotonic() - t0) / N
 print(f"step on resident args (pipelined): {t_pipe*1e3:.1f} ms")
 
@@ -76,7 +76,7 @@ t0 = time.monotonic()
 for o in outs:
     jax.device_get(o)
 t_d2h = (time.monotonic() - t0) / N
-print(f"D2H per batch (hv {B}x{P.hv_d} i16 + meta): {t_d2h*1e3:.1f} ms")
+print(f"D2H per batch (fused [B, D+8] i16): {t_d2h*1e3:.1f} ms")
 
 # --- full end-to-end as the Sketcher does it -------------------------------
 t0 = time.monotonic()

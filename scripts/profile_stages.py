@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hypergen_tpu.models.sketcher import make_sketch_step, pack_codes
+from hypergen_tpu.models.sketcher import make_sketch_step, pack_codes, split_step_output
 from hypergen_tpu.ops.compact import block_extract
 from hypergen_tpu.ops.encode import encode_hv
 from hypergen_tpu.ops.kmers import hash_kmer_positions
@@ -128,11 +128,11 @@ def main():
     )
     def full(p2, pv):
         return step(jnp.asarray(p2), jnp.asarray(pv))
-    jax.block_until_ready(full(*packed[0])["hv"])
+    jax.block_until_ready(full(*packed[0]))
     t0 = time.monotonic()
     for i in range(4):
         out = full(*packed[i % len(packed)])
-    jax.block_until_ready(out["hv"])
+    jax.block_until_ready(out)
     dtf = (time.monotonic() - t0) / 4
     print(f"{'FULL step (pallas)':40s} {dtf*1e3:9.1f} ms   "
           f"{B*GENOME_BP/dtf/1e6:8.1f} Mbp/s  = {B/dtf:.1f} genomes/s")

@@ -326,3 +326,30 @@ class TestAniQuality:
         # uniform random base is silent 1/4 of the time
         for rate, a in zip(rates[1:], anis):
             assert abs(a - 100.0 * (1.0 - 0.75 * rate)) < 1.2, (rate, a)
+
+class TestCliErrors:
+    def test_empty_input_dir_exits(self, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(SystemExit):
+            cli_main(["sketch", "-p", str(empty), "-o",
+                      str(tmp_path / "x.sketch")])
+
+    def test_ksize_mismatch_exits(self, tmp_path):
+        data = tmp_path / "d"
+        data.mkdir()
+        _write_genome(data / "g.fna", 3000, seed=2)
+        a, b = tmp_path / "a.sketch", tmp_path / "b.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(a), "-s", "30",
+                  "-d", "1024", "-k", "21"])
+        cli_main(["sketch", "-p", str(data), "-o", str(b), "-s", "30",
+                  "-d", "1024", "-k", "31"])
+        with pytest.raises(SystemExit):
+            cli_main(["dist", "-r", str(a), "-q", str(b),
+                      "-o", str(tmp_path / "o.tsv")])
+
+    def test_missing_sketch_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            cli_main(["dist", "-r", str(tmp_path / "no.sketch"),
+                      "-q", str(tmp_path / "no.sketch"),
+                      "-o", str(tmp_path / "o.tsv")])
