@@ -353,3 +353,43 @@ class TestCliErrors:
             cli_main(["dist", "-r", str(tmp_path / "no.sketch"),
                       "-q", str(tmp_path / "no.sketch"),
                       "-o", str(tmp_path / "o.tsv")])
+
+class TestEdgeGenomes:
+    def test_all_n_genome(self, tmp_path):
+        """A genome of only Ns yields an all-zero HV and zero hashes."""
+        data = tmp_path / "d"
+        data.mkdir()
+        (data / "n.fna").write_bytes(b">n\n" + b"N" * 500 + b"\n")
+        out = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "1", "-d", "256"])
+        fs = load_sketch(out)[0]
+        assert fs.hv_norm_2 == 0
+        np.testing.assert_array_equal(fs.decompress(), np.zeros(256, np.int16))
+
+    def test_genome_shorter_than_k(self, tmp_path):
+        data = tmp_path / "d"
+        data.mkdir()
+        (data / "s.fna").write_bytes(b">s\nACGTACGT\n")  # 8 < k=21
+        out = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "1", "-d", "256"])
+        fs = load_sketch(out)[0]
+        assert fs.hv_norm_2 == 0
+
+    def test_zero_norm_pair_ani_is_zero(self, tmp_path):
+        """ANI against an empty sketch is 0 (NaN/-inf -> 0, like the
+        reference's NaN guard, reference:src/dist.rs:153-156)."""
+        data = tmp_path / "d"
+        data.mkdir()
+        (data / "a.fna").write_bytes(b">a\n" + b"N" * 200 + b"\n")
+        _write_genome(data / "b.fna", 2000, seed=3)
+        out = tmp_path / "db.sketch"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "1", "-d", "256"])
+        tsv = tmp_path / "ani.tsv"
+        cli_main(["dist", "-r", str(out), "-q", str(out),
+                  "-o", str(tsv), "-a", "0.0"])
+        rows = [l.split("\t") for l in tsv.read_text().splitlines()]
+        assert len(rows) == 1
+        assert float(rows[0][2]) == 0.0
