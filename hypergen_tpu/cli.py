@@ -26,6 +26,10 @@ from hypergen_tpu.utils.logging import setup_logging
 
 log = logging.getLogger("hypergen")
 
+# minimum ANI threshold at which `dist` uses the device-side filter+compact
+# path (below it, survivor density makes the dense full-table path cheaper)
+THRESHOLDED_DIST_MIN = 50.0
+
 
 def _str2bool(v: str) -> bool:
     if v.lower() in ("true", "1", "yes"):
@@ -262,7 +266,7 @@ def run_dist(args, top_k: int = 0) -> None:
     t0 = time.monotonic()
     if_sym = args.path_r == args.path_q
     if jax.process_count() > 1:
-        if Path(args.path_r).is_dir() and args.ani_th >= 50.0:
+        if Path(args.path_r).is_dir() and args.ani_th >= THRESHOLDED_DIST_MIN:
             _run_dist_pod(args, if_sym, t0)
             return
         # no pod path for this shape: run on process 0 only (running the
@@ -273,8 +277,8 @@ def run_dist(args, top_k: int = 0) -> None:
                      jax.process_index())
             return
         log.warning(
-            "dist: threshold < 50 or non-.hgdb ref disables the pod path; "
-            "computing on process 0 only"
+            "dist: threshold < %s or non-.hgdb ref disables the pod path; "
+            "computing on process 0 only", THRESHOLDED_DIST_MIN,
         )
     ref_db = _load_db(args.path_r)
     query_db = ref_db if if_sym else _load_db(args.path_q)
@@ -288,7 +292,7 @@ def run_dist(args, top_k: int = 0) -> None:
     # ksize comes from the sketch file, not the CLI flag
     # (reference:src/dist.rs:26,50)
     comp = Comparator(ksize=ref_db.ksize)
-    if args.ani_th >= 50.0:
+    if args.ani_th >= THRESHOLDED_DIST_MIN:
         # production thresholds: filter + compact on device, fetch only
         # survivors (tiny D2H); rows are identical to the dense path
         ri, qi, ani, n_total = comp.ani_pairs_thresholded(
@@ -384,23 +388,17 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     if pid != 0:
         return
     # process 0: wait for this run's parts, merge in enumeration order
-    import time as _time
+    from hypergen_tpu.io.sketch_db import wait_for_part_files
 
     parts = [
         out.with_suffix(out.suffix + f".part{p:05d}.{token}.npz")
         for p in range(nproc)
     ]
-    deadline = _time.monotonic() + 600.0
-    while not all(p.with_suffix(".done").exists() for p in parts):
-        if _time.monotonic() > deadline:
-            raise TimeoutError("missing dist parts")
-        _time.sleep(0.2)
-    rs, qs, asv = [], [], []
-    for p in parts:
-        z = np.load(p)
-        rs.append(z["ri"]); qs.append(z["qi"]); asv.append(z["ani"])
-    ri = np.concatenate(rs); qi = np.concatenate(qs)
-    ani = np.concatenate(asv)
+    wait_for_part_files([p.with_suffix(".done") for p in parts])
+    merged = [np.load(p) for p in parts]
+    ri = np.concatenate([z["ri"] for z in merged])
+    qi = np.concatenate([z["qi"] for z in merged])
+    ani = np.concatenate([z["ani"] for z in merged])
     order = np.lexsort((qi, ri))
     ri, qi, ani = ri[order], qi[order], ani[order]
     tsv, n_rep = format_ani_report(

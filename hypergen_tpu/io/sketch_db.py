@@ -322,21 +322,14 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
     stale parts from a previous crashed run in the same directory are
     ignored (and cleaned up after the merge).
     """
-    import time as _time
-
     out = Path(out_dir)
-    deadline = _time.monotonic() + timeout_s
     if token:
         paths = [
             out / f"manifest.part{p:05d}.{token}.json" for p in range(n_parts)
         ]
     else:
         paths = [out / f"manifest.part{p:05d}.json" for p in range(n_parts)]
-    while not all(p.exists() for p in paths):
-        if _time.monotonic() > deadline:
-            missing = [str(p) for p in paths if not p.exists()]
-            raise TimeoutError(f"missing DB parts: {missing}")
-        _time.sleep(0.2)
+    wait_for_part_files(paths, timeout_s)
     parts = [json.loads(p.read_text()) for p in paths]
     names: List[str] = []
     shards = []
@@ -369,3 +362,15 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
     for p_ in paths:  # tidy this run's part manifests (merged above)
         p_.unlink(missing_ok=True)
+
+
+def wait_for_part_files(paths, timeout_s: float = 600.0) -> None:
+    """Poll a shared filesystem until every part file exists (pod merges)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while not all(p.exists() for p in paths):
+        if _time.monotonic() > deadline:
+            missing = [str(p) for p in paths if not p.exists()]
+            raise TimeoutError(f"missing parts: {missing}")
+        _time.sleep(0.2)

@@ -30,17 +30,23 @@ def ani_f32_host(dot: np.ndarray, norm2_r: np.ndarray, norm2_q: np.ndarray, ksiz
     f32 evaluation order: J = dot/(nr+nq-dot); ANI = 1 + ln(2/(1/J+1))/k;
     NaN -> 0; clamp to [0,1]; *100.
     """
+    return _ani_chain(
+        dot, norm2_r[:, None].astype(np.int32), norm2_q[None, :].astype(np.int32),
+        ksize,
+    )
+
+
+def _ani_chain(
+    dot: np.ndarray, norm2_r: np.ndarray, norm2_q: np.ndarray, ksize: int
+) -> np.ndarray:
+    """The reference's scalar f32 chain on broadcastable int32 inputs.
+
+    The denominator wraps in i32 exactly like the reference (numpy int32
+    arithmetic is modular); every float op is an elementwise IEEE f32 op.
+    """
     dot_f = dot.astype(np.float32)
-    # the reference computes the denominator in wrapping i32; numpy int32
-    # arithmetic wraps identically (modular), no widening needed
-    with np.errstate(over="ignore"):
-        denom_i = (
-            norm2_r[:, None].astype(np.int32)
-            + norm2_q[None, :].astype(np.int32)
-            - dot.astype(np.int32)
-        )
-    denom = denom_i.astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        denom = (norm2_r + norm2_q - dot.astype(np.int32)).astype(np.float32)
         jaccard = dot_f / denom
         inner = np.float32(2.0) / (np.float32(1.0) / jaccard + np.float32(1.0))
         ani = np.float32(1.0) + np.log(inner) / np.float32(ksize)
@@ -245,19 +251,9 @@ def _ani_host_pairs(
     dot: np.ndarray, norm2_r: np.ndarray, norm2_q: np.ndarray, ksize: int
 ) -> np.ndarray:
     """Exact host float32 ANI chain for flat pair vectors (not matrices)."""
-    dot_f = dot.astype(np.float32)
-    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
-        denom = (
-            norm2_r.astype(np.int32)
-            + norm2_q.astype(np.int32)
-            - dot.astype(np.int32)
-        ).astype(np.float32)
-        jaccard = dot_f / denom
-        inner = np.float32(2.0) / (np.float32(1.0) / jaccard + np.float32(1.0))
-        ani = np.float32(1.0) + np.log(inner) / np.float32(ksize)
-    ani = np.where(np.isnan(ani), np.float32(0.0), ani)
-    ani = np.clip(ani, np.float32(0.0), np.float32(1.0))
-    return (ani * np.float32(100.0)).astype(np.float32)
+    return _ani_chain(
+        dot, norm2_r.astype(np.int32), norm2_q.astype(np.int32), ksize
+    )
 
 
 def format_ani_report(
