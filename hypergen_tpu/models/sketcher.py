@@ -539,13 +539,16 @@ class Sketcher:
         progress: bool = True,
         pipeline_depth: int = 3,
         io_threads: int = 0,
+        read_ahead: int = 0,
     ) -> List[FileSketch]:
         """Sketch many genomes: batched dispatches, pipelined, I/O threaded.
 
-        Genomes are grouped into same-bucket batches of `batch`; up to
-        `pipeline_depth` batches are in flight. Output order matches input
-        order (reference emits files in glob order,
-        reference:src/sketch.rs:19-32).
+        Genomes stream through a bounded read-ahead window (default 8x
+        batch): same-bucket genomes within the window are grouped into
+        batches of `batch`, and up to `pipeline_depth` device batches are
+        in flight. Peak RAM is O(read_ahead + in-flight) genomes regardless
+        of directory size. Output order matches input order (reference
+        emits files in glob order, reference:src/sketch.rs:19-32).
         """
         import os
 
@@ -555,6 +558,7 @@ class Sketcher:
         paths = list(paths)
         pb = ProgressBar(len(paths), enabled=progress)
         io_threads = io_threads or min(self.params.threads, 16)
+        read_ahead = read_ahead or max(8 * self.batch, 2 * io_threads)
         results: Dict[int, FileSketch] = {}
         window = collections.deque()
         timer = StageTimer()
@@ -566,26 +570,45 @@ class Sketcher:
                     results[i] = self._to_filesketch(res, str(paths[i]))
                     pb.inc()
 
-        with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            with timer.stage("fasta_read"):
-                futs = list(enumerate(pool.map(read_genome_codes, paths)))
-            # group by bucket to batch same-shape genomes together
-            by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
-            for i, codes in futs:
-                by_bucket.setdefault(self._bucket(codes.shape[0]), []).append(
-                    (i, codes)
+        def dispatch(group):
+            idxs = [i for i, _ in group]
+            with timer.stage("pack+dispatch"):
+                window.append(
+                    (idxs, self.submit_batch([c for _, c in group]))
                 )
-            for bucket in sorted(by_bucket):
-                items = by_bucket[bucket]
-                for j in range(0, len(items), self.batch):
-                    group = items[j : j + self.batch]
-                    idxs = [i for i, _ in group]
-                    with timer.stage("pack+dispatch"):
-                        window.append(
-                            (idxs, self.submit_batch([c for _, c in group]))
-                        )
-                    if len(window) >= pipeline_depth:
-                        drain_one()
+            if len(window) >= pipeline_depth:
+                drain_one()
+
+        # stream files through a bounded read-ahead window so a 50k-file
+        # directory never materializes in RAM; same-bucket genomes within
+        # the window group into full batches, stragglers flush at the end
+        by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            pending = collections.deque()  # (idx, future) in input order
+            it = iter(range(len(paths)))
+
+            def fill():
+                while len(pending) < read_ahead:
+                    i = next(it, None)
+                    if i is None:
+                        return
+                    pending.append(
+                        (i, pool.submit(read_genome_codes, paths[i]))
+                    )
+
+            fill()
+            while pending:
+                i, fut = pending.popleft()
+                with timer.stage("fasta_read"):
+                    codes = fut.result()
+                fill()
+                bucket = self._bucket(codes.shape[0])
+                by_bucket.setdefault(bucket, []).append((i, codes))
+                if len(by_bucket[bucket]) >= self.batch:
+                    dispatch(by_bucket.pop(bucket))
+            for bucket in sorted(by_bucket):  # flush partial groups
+                for j in range(0, len(by_bucket[bucket]), self.batch):
+                    dispatch(by_bucket[bucket][j : j + self.batch])
             while window:
                 drain_one()
         pb.finish()

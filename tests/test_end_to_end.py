@@ -393,3 +393,26 @@ class TestEdgeGenomes:
         rows = [l.split("\t") for l in tsv.read_text().splitlines()]
         assert len(rows) == 1
         assert float(rows[0][2]) == 0.0
+
+class TestStreamingSketchFiles:
+    def test_many_mixed_size_files_match_individual(self, tmp_path):
+        """Streaming read-ahead + bucket grouping with partial flushes must
+        reproduce per-file sketching exactly, in input order."""
+        data = tmp_path / "d"
+        data.mkdir()
+        sizes = [800, 5000, 900, 12000, 850, 5100, 11000, 950, 5200, 820,
+                 13000, 870]
+        paths = []
+        for i, L in enumerate(sizes):
+            p = data / f"g{i:02d}.fna"
+            _write_genome(p, L, seed=200 + i)
+            paths.append(p)
+        params = SketchParams(ksize=21, seed=123, scaled=30, hv_d=512)
+        sk = Sketcher(params, chunk_positions=1024, batch=3)
+        out = sk.sketch_files(paths, progress=False, read_ahead=4)
+        assert [fs.file_str for fs in out] == [str(p) for p in paths]
+        sk2 = Sketcher(params, chunk_positions=1024, batch=1)
+        for p, fs in zip(paths, out):
+            ref = sk2.sketch_file(p)
+            np.testing.assert_array_equal(fs.decompress(), ref.decompress())
+            assert fs.hv_norm_2 == ref.hv_norm_2
