@@ -151,9 +151,6 @@ def run_sketch(args) -> None:
         if not is_hgdb:
             log.error("multi-host sketching requires an .hgdb output")
             sys.exit(1)
-        if getattr(args, "resume", False):
-            log.error("--resume is not supported in multi-host sketching yet")
-            sys.exit(1)
         _run_sketch_pod(sp, files, args)
         return
     if getattr(args, "resume", False) and is_hgdb and (
@@ -216,7 +213,11 @@ def run_sketch(args) -> None:
 def _run_sketch_pod(sp: SketchParams, files, args) -> None:
     """Pod-mode sketching: host p sketches files[p::nproc] onto its local
     devices and writes one DB shard; process 0 merges the manifest
-    (SURVEY 2.3: per-host input file shards)."""
+    (SURVEY 2.3: per-host input file shards). With --resume on an existing
+    .hgdb, already-sketched genomes are skipped and the existing shards are
+    kept as the merged manifest's prefix."""
+    import json
+
     import jax
 
     from hypergen_tpu.io.sketch_db import (
@@ -227,6 +228,31 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
 
     token = shared_run_token()  # guards the merge against stale parts
     pid, nproc = jax.process_index(), jax.process_count()
+    base_manifest = None
+    shard_offset = 0
+    manifest_path = Path(args.out) / "manifest.json"
+    if getattr(args, "resume", False) and manifest_path.exists():
+        base_manifest = json.loads(manifest_path.read_text())
+        if (
+            base_manifest["ksize"], base_manifest["scaled"],
+            base_manifest["seed"], base_manifest["hv_d"],
+            base_manifest["canonical"],
+            base_manifest.get("sketch_method", "t1ha2"),
+        ) != (
+            sp.ksize, sp.scaled, sp.seed, sp.hv_d,
+            sp.canonical, sp.sketch_method,
+        ):
+            log.error("--resume: existing DB has different sketch params")
+            sys.exit(1)
+        done = set(base_manifest["names"])
+        skipped = sum(1 for f in files if str(f) in done)
+        if skipped and pid == 0:
+            log.info("Resume: %d of %d genomes already sketched", skipped,
+                     len(files))
+        files = [f for f in files if str(f) not in done]
+        shard_offset = max(
+            (sh["id"] + 1 for sh in base_manifest["shards"]), default=0
+        )
     mine = files[pid::nproc]
     log.info("Pod sketch: process %d/%d takes %d of %d files",
              pid, nproc, len(mine), len(files))
@@ -248,9 +274,12 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
             norms=np.zeros((0,), np.int32),
             sketch_method=sp.sketch_method,
         )
-    dump_db_shard_part(db, args.out, pid, nproc, token=token)
+    dump_db_shard_part(
+        db, args.out, pid, nproc, token=token, shard_id=shard_offset + pid
+    )
     if pid == 0:
-        merge_db_parts(args.out, nproc, token=token)
+        merge_db_parts(args.out, nproc, token=token,
+                       base_manifest=base_manifest)
         log.info("Merged %d DB parts into %s", nproc, args.out)
 
 

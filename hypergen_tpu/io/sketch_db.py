@@ -280,7 +280,8 @@ def load_db_rows(path, lo: int, hi: int) -> ShardedDB:
 
 
 def dump_db_shard_part(
-    db: ShardedDB, out_dir, part_id: int, n_parts: int, token: str = ""
+    db: ShardedDB, out_dir, part_id: int, n_parts: int, token: str = "",
+    shard_id: int | None = None,
 ) -> None:
     """Write one host's DB rows as a shard + part-manifest (pod sketching).
 
@@ -291,10 +292,12 @@ def dump_db_shard_part(
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    np.save(out / f"shard_{part_id:05d}_hv.npy", db.hvs)
-    np.save(out / f"shard_{part_id:05d}_norm.npy", db.norms)
+    sid = part_id if shard_id is None else shard_id
+    np.save(out / f"shard_{sid:05d}_hv.npy", db.hvs)
+    np.save(out / f"shard_{sid:05d}_norm.npy", db.norms)
     part = {
         "part": part_id,
+        "shard_id": sid,
         "n_parts": n_parts,
         "ksize": db.ksize,
         "scaled": db.scaled,
@@ -313,14 +316,16 @@ def dump_db_shard_part(
 
 
 def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
-                   token: str = "") -> None:
+                   token: str = "", base_manifest: Optional[dict] = None) -> None:
     """Wait for all part manifests, then write the merged manifest.json.
 
     Called by process 0 after dump_db_shard_part; parts become shards in
     part order, global row ranges assigned by concatenation. When a run
     token is given, only parts published with the SAME token are accepted —
     stale parts from a previous crashed run in the same directory are
-    ignored (and cleaned up after the merge).
+    ignored (and cleaned up after the merge). base_manifest (pod resume)
+    keeps an existing DB's shards and names as the prefix; new parts must
+    have been written with non-colliding shard_ids.
     """
     out = Path(out_dir)
     if token:
@@ -334,14 +339,19 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
     names: List[str] = []
     shards = []
     row = 0
+    if base_manifest is not None:
+        shards = [dict(sh) for sh in base_manifest["shards"]]
+        names = list(base_manifest["names"])
+        row = base_manifest["n_genomes"]
     for part in parts:
         n = part["n_rows"]
+        sid = part.get("shard_id", part["part"])
         shards.append(
             {
-                "id": part["part"],
+                "id": sid,
                 "rows": [row, row + n],
-                "hv": f"shard_{part['part']:05d}_hv.npy",
-                "norm": f"shard_{part['part']:05d}_norm.npy",
+                "hv": f"shard_{sid:05d}_hv.npy",
+                "norm": f"shard_{sid:05d}_norm.npy",
             }
         )
         names.extend(part["names"])

@@ -302,3 +302,70 @@ def test_two_process_pod_dist(tmp_path):
               "-o", str(ref_out), "-a", "60"])
     assert out.read_text() == ref_out.read_text()
     assert out.read_text().strip(), "expected some pairs above 60"
+
+
+@pytest.mark.slow
+def test_two_process_pod_sketch_resume(tmp_path):
+    """Pod resume: existing shards kept as prefix, only new genomes
+    sketched; final DB matches a fresh full sketch by name."""
+    from hypergen_tpu.io.sketch_db import load_sharded_db
+
+    rng = np.random.default_rng(19)
+    data = tmp_path / "genomes"
+    data.mkdir()
+
+    def add_genomes(lo, hi):
+        for i in range(lo, hi):
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=2500)
+            (data / f"g{i}.fna").write_bytes(b">g\n" + seq.tobytes() + b"\n")
+
+    def run_pod(extra):
+        port = _free_port()
+        script = tmp_path / "worker_sketch.py"
+        script.write_text(_WORKER_SKETCH.replace(
+            '"-s", "30", "-d", "512"]',
+            '"-s", "30", "-d", "512"' + extra + ']',
+        ))
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["PYTHONPATH"] = (
+            str(Path(__file__).resolve().parent.parent)
+            + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), "2",
+                 f"localhost:{port}", str(data), str(tmp_path / "pod.hgdb")],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        for pid, p in enumerate(procs):
+            o, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, f"proc{pid} failed:\n{o}"
+
+    add_genomes(0, 3)
+    run_pod("")
+    db1 = load_sharded_db(tmp_path / "pod.hgdb")
+    assert len(db1.names) == 3
+    add_genomes(3, 6)
+    run_pod(', "--resume"')
+    db2 = load_sharded_db(tmp_path / "pod.hgdb")
+    assert len(db2.names) == 6
+    # original rows unchanged
+    for i, name in enumerate(db1.names):
+        np.testing.assert_array_equal(
+            db1.hvs[i], db2.hvs[db2.names.index(name)]
+        )
+    # equal to a fresh single-process sketch, by name
+    from hypergen_tpu.cli import main as cli_main
+
+    cli_main(["sketch", "-p", str(data), "-o", str(tmp_path / "fresh.hgdb"),
+              "-s", "30", "-d", "512"])
+    ref = load_sharded_db(tmp_path / "fresh.hgdb")
+    assert sorted(db2.names) == sorted(ref.names)
+    for name in ref.names:
+        np.testing.assert_array_equal(
+            db2.hvs[db2.names.index(name)], ref.hvs[ref.names.index(name)]
+        )
