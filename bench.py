@@ -77,9 +77,11 @@ def bench_sketch():
     marks.append(time.monotonic())
     dt = marks[-1] - t0
     n = B * SKETCH_REPEATS
-    # the chip tunnel in this environment has multi-second slow periods
-    # (±2-4x run-to-run); the median per-batch time is the robust
-    # steady-state estimate, total wall time is reported alongside
+    # the chip tunnel in this environment is shared and its bandwidth
+    # swings ~5x between runs of identical code (5 to 23 genomes/s observed
+    # on the same commit); the median collect-to-collect batch time is the
+    # steady-state estimate (min would alias pipeline jitter: two async
+    # collects can complete back-to-back), wall rate reported alongside
     per_batch = np.diff(marks)
     med = float(np.median(per_batch)) if len(per_batch) else dt
     return {
