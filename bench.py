@@ -35,7 +35,7 @@ GENOME_BP = 4_000_000
 SKETCH_BATCH = 32
 SKETCH_REPEATS = 5
 
-ANI_DB = 16384  # resident on device; queries stream (the search workload)
+ANI_DB = 49152  # GTDB-scale resident DB (BASELINE config 5); queries stream
 ANI_QUERIES = 2048
 ANI_REPEATS = 3
 ANI_TOPK = 10
