@@ -142,7 +142,6 @@ def run_sketch(args) -> None:
     if not files:
         log.error("no FASTA files found under %s", sp.path)
         sys.exit(1)
-    done: dict = {}
     is_hgdb = str(args.out).endswith(".hgdb")
 
     import jax
@@ -153,27 +152,36 @@ def run_sketch(args) -> None:
             sys.exit(1)
         _run_sketch_pod(sp, files, args)
         return
+    resuming = False
     if getattr(args, "resume", False) and is_hgdb and (
         Path(args.out) / "manifest.json"
     ).exists():
-        from hypergen_tpu.io.sketch_db import load_sharded_db
+        import json
 
-        prev = load_sharded_db(args.out)
+        manifest = json.loads((Path(args.out) / "manifest.json").read_text())
         if (
-            prev.ksize, prev.scaled, prev.seed, prev.hv_d,
-            prev.canonical, prev.sketch_method,
+            manifest["ksize"], manifest["scaled"], manifest["seed"],
+            manifest["hv_d"], manifest["canonical"],
+            manifest.get("sketch_method", "t1ha2"),
         ) != (
             sp.ksize, sp.scaled, sp.seed, sp.hv_d,
             sp.canonical, sp.sketch_method,
         ):
             log.error("--resume: existing DB has different sketch params")
             sys.exit(1)
-        done = {n: i for i, n in enumerate(prev.names)}
-        skipped = sum(1 for f in files if str(f) in done)
+        # compare resolved paths: keying on the exact string would silently
+        # re-sketch (and duplicate DB rows) when the resume run spells the
+        # input path differently (relative vs absolute, trailing slash)
+        done = _resolved_set(manifest["names"])
+        skipped = sum(1 for f in files if str(Path(f).resolve()) in done)
         if skipped:
             log.info("Resume: %d of %d genomes already sketched", skipped,
                      len(files))
-        files = [f for f in files if str(f) not in done]
+        files = [f for f in files if str(Path(f).resolve()) not in done]
+        resuming = True
+        if not files:
+            log.info("Resume: nothing left to sketch")
+            return
     log.info("Start sketching...")
     t0 = time.monotonic()
     sketcher = Sketcher(sp)
@@ -184,23 +192,15 @@ def run_sketch(args) -> None:
         len(files), dt, len(files) / dt if dt > 0 else 0.0,
     )
     if is_hgdb:
-        if done:
-            from hypergen_tpu.io.sketch_db import ShardedDB
+        db = sketches_to_db(sketches)
+        db.sketch_method = sp.sketch_method
+        if resuming:
+            # append one new shard; existing shard files stay untouched
+            from hypergen_tpu.io.sketch_db import append_db_shard
 
-            new = sketches_to_db(sketches) if sketches else None
-            db = ShardedDB(
-                ksize=prev.ksize, scaled=prev.scaled,
-                canonical=prev.canonical, seed=prev.seed, hv_d=prev.hv_d,
-                names=prev.names + (new.names if new else []),
-                hvs=np.concatenate([prev.hvs, new.hvs]) if new else prev.hvs,
-                norms=np.concatenate([prev.norms, new.norms])
-                if new else prev.norms,
-                sketch_method=prev.sketch_method,
-            )
+            append_db_shard(args.out, db)
         else:
-            db = sketches_to_db(sketches)
-            db.sketch_method = sp.sketch_method
-        dump_sharded_db(db, args.out, n_shards=args.shards)
+            dump_sharded_db(db, args.out, n_shards=args.shards)
         log.info("Dump sharded DB to %s", args.out)
     else:
         size = dump_sketch(sketches, args.out)
@@ -208,6 +208,11 @@ def run_sketch(args) -> None:
             "Dump sketch file to %s with size %.2f MB",
             args.out, size / 1024.0 / 1024.0,
         )
+
+
+def _resolved_set(names) -> set:
+    """Resolve path strings for resume matching (spelling-insensitive)."""
+    return {str(Path(n).resolve()) for n in names}
 
 
 def _run_sketch_pod(sp: SketchParams, files, args) -> None:
@@ -244,12 +249,12 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
         ):
             log.error("--resume: existing DB has different sketch params")
             sys.exit(1)
-        done = set(base_manifest["names"])
-        skipped = sum(1 for f in files if str(f) in done)
+        done = _resolved_set(base_manifest["names"])
+        skipped = sum(1 for f in files if str(Path(f).resolve()) in done)
         if skipped and pid == 0:
             log.info("Resume: %d of %d genomes already sketched", skipped,
                      len(files))
-        files = [f for f in files if str(f) not in done]
+        files = [f for f in files if str(Path(f).resolve()) not in done]
         shard_offset = max(
             (sh["id"] + 1 for sh in base_manifest["shards"]), default=0
         )
@@ -460,12 +465,18 @@ def run_search(args) -> None:
 
 
 def run_hist(args) -> None:
-    from hypergen_tpu.io.sketch_db import hv_value_histogram, load_sketch
+    from hypergen_tpu.io.sketch_db import (
+        hv_value_histogram, load_sharded_db, load_sketch,
+    )
 
+    if args.path_r.is_dir():  # .hgdb: HVs are already dense
+        db = load_sharded_db(args.path_r)
+        vals, counts = np.unique(db.hvs, return_counts=True)
+        hist = dict(zip(vals.tolist(), counts.tolist()))
+    else:
+        hist = hv_value_histogram(load_sketch(args.path_r))
     try:
-        for value, count in sorted(
-            hv_value_histogram(load_sketch(args.path_r)).items()
-        ):
+        for value, count in sorted(hist.items()):
             print(f"{value}\t{count}")
     except BrokenPipeError:  # downstream `head` etc. closed the pipe
         sys.stderr.close()

@@ -44,7 +44,21 @@ class FileSketch:
     hv: np.ndarray  # int16; packed bytes reinterpreted as i16 when compressed
 
     def decompress(self) -> np.ndarray:
-        """Unpack to the dense int16 HV (reference:src/hd.rs:184-212)."""
+        """Unpack to the dense int16 HV (reference:src/hd.rs:184-212).
+
+        hv_quant_bits == 0 marks an UNcompressed record (dense i16 stored
+        as-is). The reference always compresses (`if_compressed` is
+        hard-coded true, reference:src/utils.rs:200) and its bit widths are
+        in [6, 16], so 0 is free as a marker and round-trips through the
+        .sketch byte format; such files are ours-only, not reference-readable.
+        """
+        if self.hv_quant_bits == 0:
+            if self.hv.shape[0] != self.hv_d:
+                raise ValueError(
+                    f"uncompressed sketch hv length {self.hv.shape[0]} != "
+                    f"hv_d {self.hv_d}"
+                )
+            return np.asarray(self.hv, dtype=np.int16).copy()
         return unpack_hv(self.hv.tobytes(), self.hv_quant_bits, self.hv_d)
 
     @classmethod
@@ -135,6 +149,36 @@ def _wrap_i32(x: int) -> int:
 
 
 # --- sharded TPU-native DB ---------------------------------------------------
+
+
+def append_db_shard(out_dir, db: "ShardedDB") -> None:
+    """Append new rows to an existing .hgdb as one extra shard.
+
+    Resume path: the existing shard files are untouched (no reload/rewrite
+    of potentially GTDB-scale data); only the new rows are written and the
+    manifest is extended. New shard id = max existing + 1.
+    """
+    out = Path(out_dir)
+    manifest = json.loads((out / "manifest.json").read_text())
+    if not len(db.names):
+        return
+    sid = max((sh["id"] for sh in manifest["shards"]), default=-1) + 1
+    row = manifest["n_genomes"]
+    np.save(out / f"shard_{sid:05d}_hv.npy", db.hvs)
+    np.save(out / f"shard_{sid:05d}_norm.npy", db.norms)
+    manifest["shards"].append(
+        {
+            "id": sid,
+            "rows": [row, row + len(db.names)],
+            "hv": f"shard_{sid:05d}_hv.npy",
+            "norm": f"shard_{sid:05d}_norm.npy",
+        }
+    )
+    manifest["names"] = manifest["names"] + list(db.names)
+    manifest["n_genomes"] = row + len(db.names)
+    tmp = out / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.rename(out / "manifest.json")
 
 
 @dataclasses.dataclass
@@ -315,7 +359,7 @@ def dump_db_shard_part(
     tmp.rename(out / name)  # atomic publish
 
 
-def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
+def merge_db_parts(out_dir, n_parts: int, timeout_s: Optional[float] = None,
                    token: str = "", base_manifest: Optional[dict] = None) -> None:
     """Wait for all part manifests, then write the merged manifest.json.
 
@@ -374,13 +418,34 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: float = 600.0,
         p_.unlink(missing_ok=True)
 
 
-def wait_for_part_files(paths, timeout_s: float = 600.0) -> None:
-    """Poll a shared filesystem until every part file exists (pod merges)."""
+def wait_for_part_files(paths, timeout_s: Optional[float] = None) -> None:
+    """Poll a shared filesystem until every part file exists (pod merges).
+
+    Default is to wait indefinitely (peer hosts of a pod run can lag hours
+    behind on large workloads; timing out would discard the whole run's
+    compute), logging the missing parts every 60 s so a stuck merge is
+    visible. Set HG_PART_TIMEOUT_S (or pass timeout_s) to bound the wait.
+    """
+    import logging as _logging
+    import os as _os
     import time as _time
 
-    deadline = _time.monotonic() + timeout_s
+    if timeout_s is None:
+        env = _os.environ.get("HG_PART_TIMEOUT_S", "")
+        timeout_s = float(env) if env else float("inf")
+    log_ = _logging.getLogger("hypergen")
+    start = _time.monotonic()
+    next_report = start + 60.0
     while not all(p.exists() for p in paths):
-        if _time.monotonic() > deadline:
+        now = _time.monotonic()
+        if now - start > timeout_s:
             missing = [str(p) for p in paths if not p.exists()]
             raise TimeoutError(f"missing parts: {missing}")
+        if now >= next_report:
+            n_missing = sum(1 for p in paths if not p.exists())
+            log_.info(
+                "waiting for %d/%d pod part files (%.0fs elapsed)",
+                n_missing, len(paths), now - start,
+            )
+            next_report = now + 60.0
         _time.sleep(0.2)

@@ -523,10 +523,12 @@ class Sketcher:
                 res["hv"], res["norm2"], name, p.ksize, p.scaled,
                 p.canonical, p.seed,
             )
+        # quant_bits 0 marks a dense (uncompressed) record; 16 would collide
+        # with the packed b=16 layout and corrupt on decompress
         return FileSketch(
             ksize=p.ksize, scaled=p.scaled, canonical=p.canonical, seed=p.seed,
-            hv_d=p.hv_d, hv_quant_bits=16, hv_norm_2=res["norm2"],
-            file_str=name, hv=res["hv"],
+            hv_d=p.hv_d, hv_quant_bits=0, hv_norm_2=res["norm2"],
+            file_str=name, hv=np.asarray(res["hv"], dtype=np.int16),
         )
 
     def sketch_file(self, path) -> FileSketch:

@@ -244,6 +244,46 @@ def local_topk_search_tiled(
     return np.where(bad, -np.inf, ani), np.where(bad, 0, idx)
 
 
+def sharded_topk_search_tiled(
+    mesh: Mesh,
+    db_hv: np.ndarray,
+    db_norm: np.ndarray,
+    q_hv: np.ndarray,
+    q_norm: np.ndarray,
+    ksize: int,
+    k_top: int,
+    tile_m: int,
+    use_mxu: bool | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-device top-k over a DB too large for one sharded dispatch.
+
+    Streams DB row tiles through sharded_topk_search and merges the per-tile
+    top-k candidates on the host, bounding per-device memory at
+    O(tile_m/ndb x N) — the multi-device analog of local_topk_search_tiled
+    (which this degenerates to conceptually at ndb == 1, kept separate
+    because its merge stays on device).
+    """
+    M, N = db_hv.shape[0], q_hv.shape[0]
+    run_v = np.full((N, k_top), -np.inf, dtype=np.float32)
+    run_i = np.zeros((N, k_top), dtype=np.int32)
+    for mi in range(0, M, tile_m):
+        v, i = sharded_topk_search(
+            mesh, db_hv[mi : mi + tile_m], db_norm[mi : mi + tile_m],
+            q_hv, q_norm, ksize, k_top, use_mxu=use_mxu,
+        )
+        cv = np.concatenate([run_v, v], axis=1)
+        ci = np.concatenate([run_i, i + mi], axis=1)
+        pos = np.argsort(-cv, axis=1, kind="stable")[:, :k_top]
+        run_v = np.take_along_axis(cv, pos, axis=1)
+        run_i = np.take_along_axis(ci, pos, axis=1).astype(np.int32)
+    return run_v, run_i
+
+
+# per-device ANI-matrix budget above which DB search streams row tiles
+# instead of materializing the full (M/ndb x N) matrix in one dispatch
+PAIRS_PER_DEVICE_TILE_LIMIT = 1 << 28
+
+
 def run_search_cli(args, load_db) -> None:
     """CLI glue for the `search` subcommand."""
     import json
@@ -277,18 +317,28 @@ def run_search_cli(args, load_db) -> None:
             raise SystemExit("ref/query sketch parameter mismatch")
         M, N = ref_db.hvs.shape[0], query_db.hvs.shape[0]
         k_top = min(args.top_k, M)
-        if jax.device_count() == 1 and M * N > (1 << 28):
-            # DB too large for one ANI matrix on a single chip: stream
-            # row tiles through a running on-device top-k merge
+        ndev = jax.device_count()
+        # gate on the per-DEVICE pair count: a multi-device host with a DB
+        # large enough to need tiling must stream too, not OOM
+        per_dev_pairs = -(-M // ndev) * N
+        if per_dev_pairs <= PAIRS_PER_DEVICE_TILE_LIMIT:
+            mesh = make_mesh()
+            ani, idx = sharded_topk_search(
+                mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
+                ksize=ref_db.ksize, k_top=k_top,
+            )
+        elif ndev == 1:
+            # stream row tiles through a running on-device top-k merge
             ani, idx = local_topk_search_tiled(
                 ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
                 ksize=ref_db.ksize, k_top=k_top,
             )
         else:
             mesh = make_mesh()
-            ani, idx = sharded_topk_search(
+            tile_m = max(8192, PAIRS_PER_DEVICE_TILE_LIMIT // max(N, 1) * ndev)
+            ani, idx = sharded_topk_search_tiled(
                 mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
-                ksize=ref_db.ksize, k_top=k_top,
+                ksize=ref_db.ksize, k_top=k_top, tile_m=tile_m,
             )
         ref_db_names = ref_db.names
         n_refs = M

@@ -78,8 +78,11 @@ class SketchParams:
     def validate(self) -> None:
         if not 1 <= self.ksize <= 32:
             raise ValueError(f"ksize must be in [1, 32], got {self.ksize}")
-        if self.hv_d % 128 != 0:
-            raise ValueError(f"hv_d must be a multiple of 128, got {self.hv_d}")
+        # compression packs 256-lane blocks (reference:src/hd.rs:139-153,
+        # BitPacker8x::BLOCK_LEN); anything coarser passes validation but
+        # dies at dump time, so reject it here
+        if self.hv_d % 256 != 0:
+            raise ValueError(f"hv_d must be a multiple of 256, got {self.hv_d}")
         if self.scaled < 1:
             raise ValueError(f"scaled must be >= 1, got {self.scaled}")
 

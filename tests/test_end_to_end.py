@@ -266,6 +266,24 @@ class TestResume:
                 db3.hvs[db3.names.index(name)],
             )
 
+    def test_resume_path_spelling_insensitive(self, tmp_path):
+        """Resume keyed on resolved paths: a different spelling of the same
+        input directory must not re-sketch or duplicate DB rows."""
+        from hypergen_tpu.io.sketch_db import load_sharded_db
+
+        data = tmp_path / "data"
+        data.mkdir()
+        for i in range(2):
+            _write_genome(data / f"g{i}.fna", 4000, seed=70 + i)
+        out = tmp_path / "db.hgdb"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024"])
+        respelled = tmp_path / "data" / ".." / "data"
+        cli_main(["sketch", "-p", str(respelled), "-o", str(out),
+                  "-s", "30", "-d", "1024", "--resume"])
+        db = load_sharded_db(out)
+        assert len(db.names) == 2
+
     def test_resume_param_mismatch_errors(self, tmp_path):
         data = tmp_path / "data"
         data.mkdir()
@@ -326,6 +344,46 @@ class TestAniQuality:
         # uniform random base is silent 1/4 of the time
         for rate, a in zip(rates[1:], anis):
             assert abs(a - 100.0 * (1.0 - 0.75 * rate)) < 1.2, (rate, a)
+
+class TestUncompressed:
+    def test_uncompressed_sketch_roundtrips(self, tmp_path):
+        """if_compressed=False stores dense (quant_bits=0 marker); dump ->
+        load -> decompress must equal the compressed path's dense HV."""
+        seq = _write_genome(tmp_path / "g.fna", 5000, seed=9)
+        del seq
+        p_c = SketchParams(ksize=21, seed=123, scaled=30, hv_d=1024)
+        p_u = SketchParams(ksize=21, seed=123, scaled=30, hv_d=1024,
+                           if_compressed=False)
+        fs_c = Sketcher(p_c, chunk_positions=512).sketch_file(tmp_path / "g.fna")
+        fs_u = Sketcher(p_u, chunk_positions=512).sketch_file(tmp_path / "g.fna")
+        assert fs_u.hv_quant_bits == 0
+        np.testing.assert_array_equal(fs_u.decompress(), fs_c.decompress())
+        from hypergen_tpu.io.sketch_db import dump_sketch
+
+        out = tmp_path / "u.sketch"
+        dump_sketch([fs_u], out)
+        loaded = load_sketch(out)
+        np.testing.assert_array_equal(loaded[0].decompress(), fs_c.decompress())
+        db = sketches_to_db(loaded)
+        np.testing.assert_array_equal(db.hvs[0], fs_c.decompress())
+
+    def test_validate_rejects_non_256_hv_d(self):
+        with pytest.raises(ValueError):
+            SketchParams(hv_d=384).validate()
+
+
+class TestHistogramHgdb:
+    def test_hist_cli_on_hgdb(self, tmp_path, capsys):
+        data = tmp_path / "data"
+        data.mkdir()
+        _write_genome(data / "g0.fna", 4000, seed=8)
+        out = tmp_path / "db.hgdb"
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024"])
+        cli_main(["hist", "-r", str(out)])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines and sum(int(l.split("\t")[1]) for l in lines) == 1024
+
 
 class TestCliErrors:
     def test_empty_input_dir_exits(self, tmp_path):

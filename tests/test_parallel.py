@@ -130,6 +130,25 @@ def test_local_topk_search_tiled():
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
 
 
+def test_sharded_topk_search_tiled():
+    """Multi-device streaming top-k over DB tiles == one-shot reference."""
+    from hypergen_tpu.parallel.search import sharded_topk_search_tiled
+
+    rng = np.random.default_rng(29)
+    M, N, D, K = 530, 16, 256, 7  # deliberately not tile-aligned
+    db = rng.integers(-40, 40, size=(M, D)).astype(np.int16)
+    dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    q = db[rng.integers(0, M, size=N)].copy()
+    qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    mesh = make_mesh(4, 2)
+    ani, idx = sharded_topk_search_tiled(
+        mesh, db, dbn, q, qn, ksize=21, k_top=K, tile_m=128, use_mxu=False,
+    )
+    exp_ani, _ = _reference_topk(db, dbn, q, qn, 21, K)
+    np.testing.assert_allclose(ani, exp_ani, atol=2e-3)
+    assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
+
+
 @pytest.mark.slow
 def test_gtdb_scale_sharded_search():
     """BASELINE config 5 stand-in: ~50k-genome DB sharded over the mesh,
