@@ -300,20 +300,8 @@ def run_dist(args, top_k: int = 0) -> None:
     t0 = time.monotonic()
     if_sym = args.path_r == args.path_q
     if jax.process_count() > 1:
-        if Path(args.path_r).is_dir() and args.ani_th >= THRESHOLDED_DIST_MIN:
-            _run_dist_pod(args, if_sym, t0)
-            return
-        # no pod path for this shape: run on process 0 only (running the
-        # identical single-process computation on every host would race
-        # concurrent writes of the same output file)
-        if jax.process_index() != 0:
-            log.info("dist: non-pod shape, process %d idle",
-                     jax.process_index())
-            return
-        log.warning(
-            "dist: threshold < %s or non-.hgdb ref disables the pod path; "
-            "computing on process 0 only", THRESHOLDED_DIST_MIN,
-        )
+        _run_dist_pod(args, if_sym, t0)
+        return
     ref_db = _load_db(args.path_r)
     query_db = ref_db if if_sym else _load_db(args.path_q)
     if ref_db.ksize != query_db.ksize:
@@ -333,8 +321,11 @@ def run_dist(args, top_k: int = 0) -> None:
             ref_db, query_db, symmetric=if_sym, threshold=args.ani_th
         )
     else:
-        ri, qi, ani = comp.ani_pairs(ref_db, query_db, symmetric=if_sym)
-        n_total = len(ani)
+        # low thresholds: fetch full dot tiles but keep only survivors on
+        # host (no M x N matrix materialization)
+        ri, qi, ani, n_total = comp.ani_pairs_streamed(
+            ref_db, query_db, symmetric=if_sym, threshold=args.ani_th
+        )
     tsv, n_rep = format_ani_report(
         ref_db.names, query_db.names, ri, qi, ani, args.ani_th, top_k=top_k
     )
@@ -347,12 +338,13 @@ def run_dist(args, top_k: int = 0) -> None:
 
 
 def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
-    """Pod-mode dist: host p computes thresholded pairs for its own DB row
-    range; process 0 merges the TSV. Each host loads only its ref rows
-    (load_db_rows) and, when the query side is also an .hgdb, streams query
-    rows in bounded chunks — neither side fully materializes on one host.
-    Thresholded-only (the all-pairs table at pod scale would be the dense
-    D2H problem the threshold path exists to avoid)."""
+    """Pod-mode dist: host p computes pairs for its own ref row range;
+    process 0 merges the TSV. An .hgdb ref is row-loaded per host
+    (load_db_rows); a legacy .sketch ref is loaded once and row-sliced.
+    When the query side is an .hgdb, query rows stream in bounded chunks —
+    neither side fully materializes on one host. Thresholds >= 50 use the
+    device filter+compact path; lower thresholds the host-filtered streamed
+    path. Symmetric runs skip sub-diagonal tiles via global row offsets."""
     import json
 
     import jax
@@ -365,8 +357,21 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
 
     token = shared_run_token()
     pid, nproc = jax.process_index(), jax.process_count()
-    manifest = json.loads((Path(args.path_r) / "manifest.json").read_text())
-    M = manifest["n_genomes"]
+    r_is_hgdb = Path(args.path_r).is_dir()
+    if r_is_hgdb:
+        manifest = json.loads(
+            (Path(args.path_r) / "manifest.json").read_text()
+        )
+        M, r_names, r_ksize, r_hvd = (
+            manifest["n_genomes"], manifest["names"],
+            manifest["ksize"], manifest["hv_d"],
+        )
+    else:
+        ref_full = _load_db(args.path_r)
+        M, r_names, r_ksize, r_hvd = (
+            len(ref_full.names), ref_full.names,
+            ref_full.ksize, ref_full.hv_d,
+        )
     q_is_hgdb = Path(args.path_q).is_dir()
     if q_is_hgdb:
         q_manifest = json.loads(
@@ -376,19 +381,28 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
             q_manifest["names"], q_manifest["ksize"], q_manifest["hv_d"],
         )
     else:
-        query_full = _load_db(args.path_q)
+        query_full = (
+            ref_full if if_sym else _load_db(args.path_q)
+        )
         q_names, q_ksize, q_hvd = (
             query_full.names, query_full.ksize, query_full.hv_d,
         )
-    if manifest["ksize"] != q_ksize or manifest["hv_d"] != q_hvd:
+    if r_ksize != q_ksize or r_hvd != q_hvd:
         log.error("Ref and query sketch parameters mismatch!")
         sys.exit(1)
     N = len(q_names)
     lo = round(pid * M / nproc)
     hi = round((pid + 1) * M / nproc)
-    ref_part = load_db_rows(args.path_r, lo, hi)
+    ref_part = (
+        load_db_rows(args.path_r, lo, hi)
+        if r_is_hgdb else _slice_db(ref_full, lo, hi)
+    )
     comp = Comparator(ksize=q_ksize)
-    ref_blocks = comp.preload_ref(ref_part)
+    thresholded = args.ani_th >= THRESHOLDED_DIST_MIN
+    ref_blocks = (
+        comp.preload_ref(ref_part) if thresholded
+        else comp.preload_rows(ref_part.hvs)
+    )
     Q_CHUNK = 8192  # bounds per-host query memory when streaming from .hgdb
     rs, qs, asv = [], [], []
     for qlo in range(0, N, Q_CHUNK):
@@ -397,24 +411,25 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
             load_db_rows(args.path_q, qlo, qhi)
             if q_is_hgdb else _slice_db(query_full, qlo, qhi)
         )
-        # symmetric case: full rectangle for this row range; i<j filtered
-        # globally below (row offsets make the global pair set exact)
-        ri, qi, ani, _ = comp.ani_pairs_thresholded(
-            ref_part, q_part, symmetric=False, threshold=args.ani_th,
-            ref_blocks=ref_blocks,
-        )
+        # global offsets make the symmetric i<j pair set exact across hosts
+        # and let the comparator skip tiles entirely below the diagonal
+        if thresholded:
+            ri, qi, ani, _ = comp.ani_pairs_thresholded(
+                ref_part, q_part, symmetric=if_sym, threshold=args.ani_th,
+                ref_blocks=ref_blocks, ref_offset=lo, query_offset=qlo,
+            )
+        else:
+            ri, qi, ani, _ = comp.ani_pairs_streamed(
+                ref_part, q_part, symmetric=if_sym, threshold=args.ani_th,
+                ref_blocks=ref_blocks, ref_offset=lo, query_offset=qlo,
+            )
         rs.append(ri + lo)
         qs.append(qi + qlo)
         asv.append(ani)
     ri = np.concatenate(rs) if rs else np.zeros(0, np.int64)
     qi = np.concatenate(qs) if qs else np.zeros(0, np.int64)
     ani = np.concatenate(asv) if asv else np.zeros(0, np.float32)
-    if if_sym:
-        keep = ri < qi
-        ri, qi, ani = ri[keep], qi[keep], ani[keep]
-        n_total = M * (M - 1) // 2
-    else:
-        n_total = M * N
+    n_total = M * (M - 1) // 2 if if_sym else M * N
     out = Path(args.out)
     part = out.with_suffix(out.suffix + f".part{pid:05d}.{token}.npz")
     np.savez(part, ri=ri, qi=qi, ani=ani)
@@ -436,7 +451,7 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     order = np.lexsort((qi, ri))
     ri, qi, ani = ri[order], qi[order], ani[order]
     tsv, n_rep = format_ani_report(
-        manifest["names"], q_names, ri, qi, ani, args.ani_th
+        r_names, q_names, ri, qi, ani, args.ani_th
     )
     out.write_text(tsv)
     for p in parts:

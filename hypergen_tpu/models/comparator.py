@@ -143,15 +143,87 @@ class Comparator:
         symmetric: bool,
         threshold: float,
         ref_blocks: List | None = None,
+        ref_offset: int = 0,
+        query_offset: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
         """Like ani_pairs but only pairs with ANI >= threshold leave the
         device (device-side filter + compaction; exact host re-check).
         Returns (ref_idx, query_idx, ani, n_total_pairs). Use for
         production thresholds; ani_pairs for exhaustive tables.
-        ref_blocks: optional device-resident blocks from preload_ref."""
+        ref_blocks: optional device-resident blocks from preload_ref.
+        ref_offset/query_offset: global row/col indices of this rectangle
+        (pod mode); symmetric filtering + triangle tile-skipping use the
+        global indices, returned indices stay local. n_total is only
+        meaningful at zero offsets (pod callers compute their own)."""
         return _ani_pairs_thresholded(
-            self, ref_db, query_db, symmetric, threshold, ref_blocks
+            self, ref_db, query_db, symmetric, threshold, ref_blocks,
+            ref_offset, query_offset,
         )
+
+    def ani_pairs_streamed(
+        self,
+        ref_db: ShardedDB,
+        query_db: ShardedDB,
+        symmetric: bool,
+        threshold: float,
+        ref_offset: int = 0,
+        query_offset: int = 0,
+        ref_blocks: List | None = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Dense-path pairs with host-side threshold filtering per tile.
+
+        For thresholds below the device filter+compact regime: fetches full
+        dot tiles but keeps only survivors on the host, so memory is
+        O(survivors), not O(M*N) — a 49k x 49k all-pairs dist no longer
+        needs a ~9.6 GB host matrix (at threshold 0 every pair survives and
+        the pair list itself is the floor, same as the reference's
+        materialized pair vec, reference:src/dist.rs:252-265).
+        Same returns/offset semantics as ani_pairs_thresholded; ANI values
+        are identical to both other paths (exact host f32 chain).
+        """
+        M, N = ref_db.hvs.shape[0], query_db.hvs.shape[0]
+        tm, tn = self.tile_m, self.tile_n
+        out_i: List[np.ndarray] = []
+        out_j: List[np.ndarray] = []
+        out_a: List[np.ndarray] = []
+        r_blocks = ref_blocks
+        if r_blocks is None and N > tn:
+            r_blocks = self.preload_rows(ref_db.hvs)
+        for nj in range(0, N, tn):
+            q_dev = jnp.asarray(_pad_rows(query_db.hvs[nj : nj + tn], tn))
+            for bi, mi in enumerate(range(0, M, tm)):
+                if symmetric and _tile_below_diagonal(
+                    mi + ref_offset, nj + query_offset, tn
+                ):
+                    continue
+                r_dev = (
+                    r_blocks[bi] if r_blocks is not None
+                    else jnp.asarray(_pad_rows(ref_db.hvs[mi : mi + tm], tm))
+                )
+                tile = np.asarray(self._dot(r_dev, q_dev))[
+                    : min(tm, M - mi), : min(tn, N - nj)
+                ]
+                ani = ani_f32_host(
+                    tile,
+                    ref_db.norms[mi : mi + tile.shape[0]],
+                    query_db.norms[nj : nj + tile.shape[1]],
+                    self.ksize,
+                )
+                ri, qi = np.nonzero(ani >= np.float32(threshold))
+                out_i.append((mi + ri).astype(np.int64))
+                out_j.append((nj + qi).astype(np.int64))
+                out_a.append(ani[ri, qi])
+        ii = np.concatenate(out_i) if out_i else np.zeros(0, np.int64)
+        jj = np.concatenate(out_j) if out_j else np.zeros(0, np.int64)
+        aa = np.concatenate(out_a) if out_a else np.zeros(0, np.float32)
+        if symmetric:
+            keep = (ii + ref_offset) < (jj + query_offset)
+            ii, jj, aa = ii[keep], jj[keep], aa[keep]
+            n_total = M * (M - 1) // 2
+        else:
+            n_total = M * N
+        order = np.lexsort((jj, ii))
+        return ii[order], jj[order], aa[order], n_total
 
     def preload_ref(self, db: ShardedDB) -> List:
         """Device-resident (hv, norm) row tiles for ani_pairs_thresholded."""
@@ -165,6 +237,16 @@ class Comparator:
         ]
 
 
+def _tile_below_diagonal(gi_min: int, gj_min: int, tn: int) -> bool:
+    """True if a [tm x tn] tile at global (gi_min, gj_min) has no i<j pair.
+
+    Symmetric dist enumerates only j>i (reference:src/dist.rs:243-265);
+    tiles entirely at/below the diagonal contribute nothing and are skipped
+    before the matmul — ~half the dispatches for a square self-dist.
+    """
+    return gi_min >= gj_min + tn - 1
+
+
 def _ani_pairs_thresholded(
     comp: "Comparator",
     ref_db: ShardedDB,
@@ -172,6 +254,8 @@ def _ani_pairs_thresholded(
     symmetric: bool,
     threshold: float,
     ref_blocks: List | None = None,
+    ref_offset: int = 0,
+    query_offset: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Device-filtered pair list: only pairs with ANI >= threshold cross D2H.
 
@@ -193,6 +277,10 @@ def _ani_pairs_thresholded(
         q_dev = jnp.asarray(_pad_rows(query_db.hvs[nj : nj + tn], tn))
         nq_dev = jnp.asarray(_pad_rows(query_db.norms[nj : nj + tn], tn))
         for bi, mi in enumerate(range(0, M, tm)):
+            if symmetric and _tile_below_diagonal(
+                mi + ref_offset, nj + query_offset, tn
+            ):
+                continue
             if ref_blocks is not None:
                 r_dev, nr_dev = ref_blocks[bi]
             else:
@@ -229,9 +317,9 @@ def _ani_pairs_thresholded(
     jj = np.concatenate(out_j) if out_j else np.zeros(0, np.int64)
     aa = np.concatenate(out_a) if out_a else np.zeros(0, np.float32)
     if symmetric:
-        if M != N:
-            raise ValueError("symmetric dist requires square pair matrix")
-        keep = ii < jj
+        # rectangles of a pod-split square are legitimate here (offsets give
+        # the global i<j filter), so no squareness check
+        keep = (ii + ref_offset) < (jj + query_offset)
         ii, jj, aa = ii[keep], jj[keep], aa[keep]
         n_total = M * (M - 1) // 2
     else:

@@ -245,31 +245,53 @@ _WORKER_DIST = textwrap.dedent(
     jax.config.update("jax_platforms", "cpu")
 
     pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
-    db_dir, out = sys.argv[4], sys.argv[5]
+    db_dir, out, ani_th = sys.argv[4], sys.argv[5], sys.argv[6]
     from hypergen_tpu.parallel.mesh import init_distributed
     init_distributed(coord, nproc, pid)
 
     from hypergen_tpu.cli import main as cli_main
-    cli_main(["dist", "-r", db_dir, "-q", db_dir, "-o", out, "-a", "60"])
+    cli_main(["dist", "-r", db_dir, "-q", db_dir, "-o", out, "-a", ani_th])
     print(f"proc{pid} dist ok", flush=True)
     """
 )
 
 
 @pytest.mark.slow
-def test_two_process_pod_dist(tmp_path):
-    """Pod-mode dist (per-host DB row ranges) == single-process TSV."""
-    from hypergen_tpu.io.sketch_db import ShardedDB, dump_sharded_db
+@pytest.mark.parametrize(
+    "ref_kind,ani_th",
+    [
+        ("hgdb", "60"),    # device filter+compact pod path
+        ("hgdb", "30"),    # host-filtered streamed pod path (low threshold)
+        ("sketch", "60"),  # legacy .sketch ref, row-sliced per host
+    ],
+)
+def test_two_process_pod_dist(tmp_path, ref_kind, ani_th):
+    """Pod-mode dist (per-host ref row ranges) == single-process TSV, for
+    both threshold regimes and both ref formats."""
+    from hypergen_tpu.io.sketch_db import (
+        FileSketch, ShardedDB, dump_sharded_db, dump_sketch,
+    )
 
     rng = np.random.default_rng(41)
-    M, D = 31, 128
+    M, D = 31, 256
     base = rng.integers(-25, 25, size=(1, D)).astype(np.int16)
     hv = base + rng.integers(-3, 4, size=(M, D)).astype(np.int16)
     norms = np.sum(hv.astype(np.int64) ** 2, axis=1).astype(np.int32)
     db = ShardedDB(ksize=21, scaled=30, canonical=True, seed=123, hv_d=D,
                    names=[f"g{i}" for i in range(M)], hvs=hv, norms=norms)
-    db_dir = tmp_path / "db.hgdb"
-    dump_sharded_db(db, db_dir, n_shards=3)
+    if ref_kind == "hgdb":
+        db_path = tmp_path / "db.hgdb"
+        dump_sharded_db(db, db_path, n_shards=3)
+    else:
+        db_path = tmp_path / "db.sketch"
+        dump_sketch(
+            [
+                FileSketch.from_dense(hv[i], int(norms[i]), f"g{i}", 21, 30,
+                                      True, 123)
+                for i in range(M)
+            ],
+            db_path,
+        )
 
     out = tmp_path / "pod_ani.tsv"
     port = _free_port()
@@ -285,7 +307,7 @@ def test_two_process_pod_dist(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2",
-             f"localhost:{port}", str(db_dir), str(out)],
+             f"localhost:{port}", str(db_path), str(out), ani_th],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
@@ -298,10 +320,10 @@ def test_two_process_pod_dist(tmp_path):
     from hypergen_tpu.cli import main as cli_main
 
     ref_out = tmp_path / "single_ani.tsv"
-    cli_main(["dist", "-r", str(db_dir), "-q", str(db_dir),
-              "-o", str(ref_out), "-a", "60"])
+    cli_main(["dist", "-r", str(db_path), "-q", str(db_path),
+              "-o", str(ref_out), "-a", ani_th])
     assert out.read_text() == ref_out.read_text()
-    assert out.read_text().strip(), "expected some pairs above 60"
+    assert out.read_text().strip(), f"expected some pairs above {ani_th}"
 
 
 @pytest.mark.slow

@@ -341,6 +341,67 @@ class TestThresholdedDist:
             )
             assert tsv_d == tsv_t
 
+    @pytest.mark.parametrize("symmetric", [False, True])
+    def test_streamed_matches_dense_path(self, symmetric):
+        """Host-filtered streamed pairs == full dense table + filter."""
+        from hypergen_tpu.models.comparator import Comparator
+
+        rng = np.random.default_rng(33)
+        ref = self._db(rng, 37)
+        q = ref if symmetric else self._db(rng, 23)
+        comp = Comparator(ksize=21, tile_m=16, tile_n=16, use_mxu=False)
+        for th in (0.0, 60.0, 85.0):
+            ri_d, qi_d, ani_d = comp.ani_pairs(ref, q, symmetric=symmetric)
+            ri_s, qi_s, ani_s, n_total = comp.ani_pairs_streamed(
+                ref, q, symmetric=symmetric, threshold=th
+            )
+            assert n_total == len(ani_d)
+            keep = ani_d >= np.float32(th)
+            np.testing.assert_array_equal(ri_s, ri_d[keep])
+            np.testing.assert_array_equal(qi_s, qi_d[keep])
+            np.testing.assert_array_equal(ani_s, ani_d[keep])
+
+    @pytest.mark.parametrize("path", ["thresholded", "streamed"])
+    def test_symmetric_offsets_match_global(self, path):
+        """Pod-style per-rectangle calls with global offsets reproduce the
+        single-call symmetric pair set exactly."""
+        import dataclasses
+
+        from hypergen_tpu.models.comparator import Comparator
+
+        rng = np.random.default_rng(34)
+        db = self._db(rng, 37)
+        th = 60.0
+        comp = Comparator(ksize=21, tile_m=16, tile_n=16, use_mxu=False)
+        fn = (
+            comp.ani_pairs_thresholded if path == "thresholded"
+            else comp.ani_pairs_streamed
+        )
+        ri_g, qi_g, ani_g, _ = fn(db, db, symmetric=True, threshold=th)
+        rows = []
+        for lo, hi in ((0, 19), (19, 37)):
+            part = dataclasses.replace(
+                db, names=db.names[lo:hi], hvs=db.hvs[lo:hi],
+                norms=db.norms[lo:hi],
+            )
+            for qlo, qhi in ((0, 20), (20, 37)):
+                qpart = dataclasses.replace(
+                    db, names=db.names[qlo:qhi], hvs=db.hvs[qlo:qhi],
+                    norms=db.norms[qlo:qhi],
+                )
+                ri, qi, ani, _ = fn(
+                    part, qpart, symmetric=True, threshold=th,
+                    ref_offset=lo, query_offset=qlo,
+                )
+                rows.append((ri + lo, qi + qlo, ani))
+        ri = np.concatenate([r[0] for r in rows])
+        qi = np.concatenate([r[1] for r in rows])
+        ani = np.concatenate([r[2] for r in rows])
+        order = np.lexsort((qi, ri))
+        np.testing.assert_array_equal(ri[order], ri_g)
+        np.testing.assert_array_equal(qi[order], qi_g)
+        np.testing.assert_array_equal(ani[order], ani_g)
+
     def test_cap_overflow_retries(self):
         from hypergen_tpu.models.comparator import Comparator
 
