@@ -124,6 +124,103 @@ def _native_reader():
     return _NATIVE
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class PackedGenome:
+    """A genome in the device input format, before bucket padding.
+
+    packed2: uint8 [ceil(length/4)] — 2-bit codes, little-endian per byte;
+      bits of invalid positions are arbitrary (validity is runs-only).
+    runs: int32 [R, 2] — maximal [start, end) runs of invalid positions
+      within [0, length).
+    length: genome length in codes (bases + record separators).
+    """
+
+    packed2: np.ndarray
+    runs: np.ndarray
+    length: int
+
+
+def pack2bit(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack codes (low bits only): uint8 [ceil(n/4)]."""
+    n = codes.shape[0]
+    buf = np.zeros(-(-n // 4) * 4, dtype=np.uint8)
+    buf[:n] = codes & 3
+    w = buf.view(np.uint32)
+    t = w & np.uint32(0x03030303)
+    t |= t >> np.uint32(6)
+    t |= t >> np.uint32(12)
+    return np.ascontiguousarray(t.view(np.uint8)[::4])
+
+
+def invalid_runs(codes: np.ndarray) -> np.ndarray:
+    """Maximal [start, end) runs of invalid positions: int32 [R, 2]."""
+    inv = codes >= INVALID
+    flips = np.flatnonzero(np.diff(inv))
+    bounds = np.empty(flips.size + 2, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:-1] = flips + 1
+    bounds[-1] = inv.size
+    first_inv = 0 if (inv.size and inv[0]) else 1
+    starts = bounds[first_inv:-1:2]
+    ends = bounds[first_inv + 1 :: 2]
+    return np.stack([starts, ends], axis=1).astype(np.int32)
+
+
+def packed_from_codes(codes: np.ndarray) -> PackedGenome:
+    """Numpy fallback: flat code array -> PackedGenome."""
+    return PackedGenome(pack2bit(codes), invalid_runs(codes), codes.shape[0])
+
+
+def codes_from_packed(g: PackedGenome) -> np.ndarray:
+    """Expand a PackedGenome back to the flat code array (rare paths only,
+    e.g. routing a huge genome to the sequence-parallel sketcher)."""
+    nb = g.packed2.shape[0]
+    b = np.repeat(g.packed2, 4)
+    shifts = np.tile(np.array([0, 2, 4, 6], np.uint8), nb)
+    codes = ((b >> shifts) & np.uint8(3))[: g.length]
+    codes = np.ascontiguousarray(codes)
+    for s, e in g.runs:
+        codes[s:e] = INVALID
+    return codes
+
+
+def read_genome_packed(path) -> PackedGenome:
+    """Parse a genome FASTA straight into the device input format.
+
+    Uses the fused native parse+pack (one streaming C pass, no 4x-size
+    intermediate code array) when libfastx is available; numpy fallback
+    otherwise. Both produce identical PackedGenomes (tests/test_native.py).
+    """
+    native = _native_packed_reader()
+    if native is not None:
+        try:
+            p2, runs, n = native(path)
+            return PackedGenome(p2, runs, n)
+        except Exception:
+            pass  # fall back to the numpy path on any native failure
+    return packed_from_codes(codes_from_records(read_fasta_records(path)))
+
+
+_NATIVE_PACKED = None
+_NATIVE_PACKED_TRIED = False
+
+
+def _native_packed_reader():
+    global _NATIVE_PACKED, _NATIVE_PACKED_TRIED
+    if not _NATIVE_PACKED_TRIED:
+        _NATIVE_PACKED_TRIED = True
+        try:
+            from hypergen_tpu.io import fastx_native
+
+            _NATIVE_PACKED = fastx_native.read_genome_packed
+        except Exception:
+            _NATIVE_PACKED = None
+    return _NATIVE_PACKED
+
+
 def get_fasta_files(path) -> List[Path]:
     """Non-recursive *.fna, *.fa, *.fasta glob in extension order
     (reference:src/utils.rs:208-221); gzipped variants also accepted."""

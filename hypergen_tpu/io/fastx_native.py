@@ -46,6 +46,16 @@ def _load():
     ]
     lib.hg_free.restype = None
     lib.hg_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    if hasattr(lib, "hg_read_genome_packed"):
+        lib.hg_read_genome_packed.restype = ctypes.c_longlong
+        lib.hg_read_genome_packed.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
     _lib = lib
     return lib
 
@@ -65,6 +75,45 @@ def read_genome_codes(path) -> np.ndarray:
     finally:
         lib.hg_free(out)
     return codes
+
+
+def read_genome_packed(path):
+    """Fused native parse+pack: (packed2 u8 [ceil(n/4)], runs i32 [R, 2], n).
+
+    One streaming C pass over the FASTA bytes — no intermediate 4x-size
+    code array (native/fastx.cpp hg_read_genome_packed). Validity of
+    positions comes solely from the run list; packed padding bits are
+    arbitrary (code & 3).
+    """
+    lib = _load()
+    if not hasattr(lib, "hg_read_genome_packed"):
+        raise ImportError("libfastx.so lacks hg_read_genome_packed (rebuild)")
+    packed_p = ctypes.POINTER(ctypes.c_uint8)()
+    runs_p = ctypes.POINTER(ctypes.c_int32)()
+    n_runs = ctypes.c_longlong(0)
+    errbuf = ctypes.create_string_buffer(256)
+    n = lib.hg_read_genome_packed(
+        str(path).encode(), ctypes.byref(packed_p), ctypes.byref(runs_p),
+        ctypes.byref(n_runs), errbuf, 256,
+    )
+    if n < 0:
+        raise ValueError(f"{path}: {errbuf.value.decode()}")
+    try:
+        nb = -(-n // 4)
+        packed2 = (
+            np.ctypeslib.as_array(packed_p, shape=(nb,)).copy()
+            if nb else np.zeros(0, np.uint8)
+        )
+        runs = (
+            np.ctypeslib.as_array(runs_p, shape=(n_runs.value, 2)).copy()
+            if n_runs.value else np.zeros((0, 2), np.int32)
+        )
+    finally:
+        if packed_p:
+            lib.hg_free(packed_p)
+        if runs_p:
+            lib.hg_free(ctypes.cast(runs_p, ctypes.POINTER(ctypes.c_uint8)))
+    return packed2, runs, int(n)
 
 
 _pack_fn = None

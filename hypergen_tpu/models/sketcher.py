@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hypergen_tpu.io.fastx import INVALID, read_genome_codes
+from hypergen_tpu.io.fastx import (
+    INVALID,
+    PackedGenome,
+    read_genome_codes,
+    read_genome_packed,
+)
 from hypergen_tpu.io.sketch_db import FileSketch
 from hypergen_tpu.ops import u64 as u
 from hypergen_tpu.ops.compact import block_extract, compact_masked
@@ -336,6 +341,7 @@ class Sketcher:
         batch: int = 4,
         use_pallas: Optional[bool] = None,
         run_cap: int = 512,
+        seqpar_min_chunks: int = 512,
     ):
         params.validate()
         self.params = params
@@ -358,6 +364,11 @@ class Sketcher:
                 max(256, 6 * self.C * 8 // max(params.scaled, 1))
             )
         self.run_cap = int(run_cap)
+        # genomes at/above this bucket (in chunks) shard their chunk axis
+        # over the device mesh instead of batching (sequence parallelism;
+        # 512 chunks at the default C is ~67 Mbp — far beyond any one
+        # dispatch bucket worth batching)
+        self.seqpar_min_chunks = int(seqpar_min_chunks)
         self._steps: Dict[Tuple, object] = {}
         self._enc_overflow_factor = 1
         self._pack_pool = ThreadPoolExecutor(max_workers=min(self.batch, 8))
@@ -407,57 +418,90 @@ class Sketcher:
         n_pos = max(L - self.params.ksize + 1, 1)
         return _next_pow2(-(-n_pos // self.C))
 
-    def _pack_batch(self, codes_list: List[np.ndarray], n_chunks: int):
-        """Pack genomes for the runs variant; falls back to the dense mask
-        when a genome's invalid-run list exceeds run_cap (never drops data).
+    def _prepare_batch(self, genomes: List["PackedGenome"], n_chunks: int):
+        """Assemble bucket-padded device inputs from parse-time PackedGenomes.
+
+        Genomes arrive already 2-bit packed with their full invalid-run
+        lists (one fused native pass per file, io.fastx.read_genome_packed);
+        this only pads rows to the bucket length and adjusts the tail run.
+        Falls back to a dense validity bitmask when a genome's run list
+        exceeds run_cap (never drops data).
 
         Returns (validity_mode, packed2, validity_array).
         """
         k = self.params.ksize
         L_ext = n_chunks * self.C + k - 1
         L_pad = -(-L_ext // 8) * 8
-        pack_one = lambda c: pack_codes_runs(c, L_pad, self.run_cap)
-        if len(codes_list) > 1:  # numpy releases the GIL; pack in parallel
-            packed = list(self._pack_pool.map(pack_one, codes_list))
-        else:
-            packed = [pack_one(codes_list[0])]
-        if max(n for _, _, n in packed) > self.run_cap:
-            p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
-            pv = np.zeros((self.batch, L_pad // 8), dtype=np.uint8)
-            for i, c in enumerate(codes_list):
-                p2[i], pv[i] = pack_codes(c, L_pad)
-            return "mask", p2, pv
+        adj: List[np.ndarray] = []
+        for g in genomes:
+            r = g.runs
+            n = min(g.length, L_pad)
+            if n < L_pad:  # merge/append the tail-padding run
+                if r.shape[0] and r[-1, 1] >= n:
+                    r = r.copy()
+                    r[-1, 1] = L_pad
+                else:
+                    r = np.concatenate(
+                        [r, np.array([[n, L_pad]], np.int32)]
+                    )
+            adj.append(r)
         p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
-        runs = np.zeros((self.batch, self.run_cap, 2), dtype=np.int32)
-        # padding rows beyond the real batch: all-invalid
-        runs[:, 0, 1] = L_pad
-        for i, (a, r, _) in enumerate(packed):
-            p2[i], runs[i] = a, r
-        return "runs", p2, runs
+        for i, g in enumerate(genomes):
+            p2[i, : g.packed2.shape[0]] = g.packed2
+        if max(r.shape[0] for r in adj) <= self.run_cap:
+            runs = np.zeros((self.batch, self.run_cap, 2), dtype=np.int32)
+            runs[:, 0, 1] = L_pad  # padding rows beyond the real batch
+            for i, r in enumerate(adj):
+                runs[i, : r.shape[0]] = r
+            return "runs", p2, runs
+        pv = np.zeros((self.batch, L_pad // 8), dtype=np.uint8)
+        for i, (g, r) in enumerate(zip(genomes, adj)):
+            valid = np.zeros(L_pad, dtype=bool)
+            valid[: min(g.length, L_pad)] = True
+            for s, e in r:
+                valid[s:e] = False
+            pv[i] = np.packbits(valid, bitorder="little")
+        return "mask", p2, pv
 
     # -- public API --------------------------------------------------------
 
-    def submit_batch(self, codes_list: List[np.ndarray]):
-        """Dispatch up to `batch` same-bucket genomes in one device call."""
-        if not 1 <= len(codes_list) <= self.batch:
+    def submit_batch_packed(self, genomes: List["PackedGenome"]):
+        """Dispatch up to `batch` same-bucket PackedGenomes in one call."""
+        if not 1 <= len(genomes) <= self.batch:
             raise ValueError(f"batch size must be in [1, {self.batch}]")
-        n_chunks = max(self._bucket(c.shape[0]) for c in codes_list)
-        mode, p2, val = self._pack_batch(codes_list, n_chunks)
+        n_chunks = max(self._bucket(g.length) for g in genomes)
+        mode, p2, val = self._prepare_batch(genomes, n_chunks)
         step, cap, enc_cap = self._get_step(n_chunks, validity=mode)
         out = step(jnp.asarray(p2), jnp.asarray(val))
         return {
             "out": out,
-            "codes_list": codes_list,
+            "n": len(genomes),
+            "p2": p2,
+            "val": val,
             "n_chunks": n_chunks,
             "cap": cap,
             "enc_cap": enc_cap,
             "validity": mode,
         }
 
+    def submit_batch(self, codes_list: List[np.ndarray]):
+        """Dispatch up to `batch` same-bucket genomes given flat code arrays.
+
+        Packing happens host-side here (thread pool); the production read
+        path (sketch_files) parses straight into PackedGenomes instead.
+        """
+        from hypergen_tpu.io.fastx import packed_from_codes
+
+        if len(codes_list) > 1:  # numpy releases the GIL; pack in parallel
+            genomes = list(self._pack_pool.map(packed_from_codes, codes_list))
+        else:
+            genomes = [packed_from_codes(codes_list[0])]
+        return self.submit_batch_packed(genomes)
+
     def collect_batch(self, handle) -> List[Dict[str, object]]:
         """Realize a batch; retries exactly on capacity overflow (rare)."""
         hv, meta = split_step_output(jax.device_get(handle["out"]))
-        n = len(handle["codes_list"])
+        n = handle["n"]
         max_count = int(np.max(meta[:n, 2])) if n else 0
         n_hashes = meta[:n, 1]
         if max_count <= handle["cap"] and int(n_hashes.max(initial=0)) <= handle["enc_cap"]:
@@ -469,7 +513,8 @@ class Sketcher:
                 }
                 for i in range(n)
             ]
-        # grow capacity and recompute this batch synchronously
+        # grow capacity and recompute this batch synchronously (device
+        # inputs are reused from the handle; only the step caps change)
         chunk_cap = handle["cap"]
         for _ in range(6):
             if max_count > chunk_cap:
@@ -484,14 +529,13 @@ class Sketcher:
                     int(n_hashes.max(initial=0)), handle["enc_cap"],
                 )
                 self._enc_overflow_factor *= 2
-            mode, p2, val = self._pack_batch(
-                handle["codes_list"], handle["n_chunks"]
-            )
             step, cap, enc_cap = self._get_step(
-                handle["n_chunks"], chunk_cap, validity=mode
+                handle["n_chunks"], chunk_cap, validity=handle["validity"]
             )
             hv, meta = split_step_output(
-                jax.device_get(step(jnp.asarray(p2), jnp.asarray(val)))
+                jax.device_get(
+                    step(jnp.asarray(handle["p2"]), jnp.asarray(handle["val"]))
+                )
             )
             max_count = int(np.max(meta[:n, 2]))
             n_hashes = meta[:n, 1]
@@ -532,8 +576,9 @@ class Sketcher:
         )
 
     def sketch_file(self, path) -> FileSketch:
-        codes = read_genome_codes(path)
-        return self._to_filesketch(self.sketch_codes(codes), str(path))
+        g = read_genome_packed(path)
+        res = self.collect_batch(self.submit_batch_packed([g]))[0]
+        return self._to_filesketch(res, str(path))
 
     def sketch_files(
         self,
@@ -576,15 +621,16 @@ class Sketcher:
             idxs = [i for i, _ in group]
             with timer.stage("pack+dispatch"):
                 window.append(
-                    (idxs, self.submit_batch([c for _, c in group]))
+                    (idxs, self.submit_batch_packed([g for _, g in group]))
                 )
             if len(window) >= pipeline_depth:
                 drain_one()
 
         # stream files through a bounded read-ahead window so a 50k-file
-        # directory never materializes in RAM; same-bucket genomes within
-        # the window group into full batches, stragglers flush at the end
-        by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        # directory never materializes in RAM (PackedGenomes are 4x smaller
+        # than code arrays); same-bucket genomes within the window group
+        # into full batches, stragglers flush at the end
+        by_bucket: Dict[int, List[Tuple[int, PackedGenome]]] = {}
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
             pending = collections.deque()  # (idx, future) in input order
             it = iter(range(len(paths)))
@@ -595,17 +641,36 @@ class Sketcher:
                     if i is None:
                         return
                     pending.append(
-                        (i, pool.submit(read_genome_codes, paths[i]))
+                        (i, pool.submit(read_genome_packed, paths[i]))
                     )
 
             fill()
             while pending:
                 i, fut = pending.popleft()
                 with timer.stage("fasta_read"):
-                    codes = fut.result()
+                    g = fut.result()
                 fill()
-                bucket = self._bucket(codes.shape[0])
-                by_bucket.setdefault(bucket, []).append((i, codes))
+                bucket = self._bucket(g.length)
+                if (
+                    bucket >= self.seqpar_min_chunks
+                    and jax.device_count() > 1
+                ):
+                    # huge genome: shard its chunk axis over the mesh
+                    # instead of monopolizing a giant batched bucket
+                    from hypergen_tpu.io.fastx import codes_from_packed
+                    from hypergen_tpu.parallel.seqpar import (
+                        sketch_codes_seqpar,
+                    )
+
+                    res = sketch_codes_seqpar(
+                        codes_from_packed(g), self.params,
+                        chunk_positions=self.C,
+                        encode_block=self.encode_block,
+                    )
+                    results[i] = self._to_filesketch(res, str(paths[i]))
+                    pb.inc()
+                    continue
+                by_bucket.setdefault(bucket, []).append((i, g))
                 if len(by_bucket[bucket]) >= self.batch:
                     dispatch(by_bucket.pop(bucket))
             for bucket in sorted(by_bucket):  # flush partial groups
@@ -614,6 +679,8 @@ class Sketcher:
             while window:
                 drain_one()
         pb.finish()
+        # keep the stage totals readable by callers (bench reports shares)
+        self.last_stage_times = dict(timer.totals)
         if os.environ.get("HG_STAGE_TIMING"):
             log.info("sketch stage timing:\n%s", timer.report())
         return [results[i] for i in range(len(paths))]

@@ -152,6 +152,134 @@ long long hg_read_genome_codes(const char* path, uint8_t** out,
 
 void hg_free(uint8_t* p) { free(p); }
 
+// Fused parse + pack: FASTA bytes -> 2-bit packed codes + invalid-run list
+// in ONE streaming pass, no intermediate code array (the codes array was a
+// 4x-size temporary that every genome paid for twice: C++ write + numpy
+// copy). Returns the genome length in codes (n), with ceil(n/4) bytes in
+// *packed_out (2-bit fields little-endian within each byte; invalid
+// positions carry code&3 — validity comes solely from the run list) and
+// *n_runs_out [start,end) int32 pairs in *runs_out covering every invalid
+// position in [0, n). -1 on error. Caller frees both with hg_free.
+long long hg_read_genome_packed(const char* path, uint8_t** packed_out,
+                                int32_t** runs_out, long long* n_runs_out,
+                                char* errbuf, int errlen) {
+  *packed_out = nullptr;
+  *runs_out = nullptr;
+  *n_runs_out = 0;
+  gzFile f = gzopen(path, "rb");
+  if (!f) {
+    set_err(errbuf, errlen, "cannot open file");
+    return -1;
+  }
+  gzbuffer(f, 1 << 20);
+
+  Buf packed;
+  Buf runs;  // raw bytes holding int32 pairs
+  uint8_t* chunk = static_cast<uint8_t*>(malloc(CHUNK));
+  if (!chunk) {
+    gzclose(f);
+    set_err(errbuf, errlen, "out of memory");
+    return -1;
+  }
+
+  bool in_header = false;
+  bool at_line_start = true;
+  long long n_records = 0;
+  long long n = 0;          // codes emitted
+  uint8_t cur = 0;          // current packed byte under construction
+  long long run_start = -1; // open invalid run
+  bool ok = true;
+  const char* err = nullptr;
+
+  auto emit = [&](uint8_t code) -> bool {
+    bool inv = code >= INVALID;
+    if (inv && run_start < 0) run_start = n;
+    if (!inv && run_start >= 0) {
+      if (!runs.reserve(8)) return false;
+      int32_t* r = reinterpret_cast<int32_t*>(runs.data + runs.len);
+      r[0] = static_cast<int32_t>(run_start);
+      r[1] = static_cast<int32_t>(n);
+      runs.len += 8;
+      run_start = -1;
+    }
+    cur = static_cast<uint8_t>(cur | ((code & 3) << (2 * (n & 3))));
+    n++;
+    if ((n & 3) == 0) {
+      if (!packed.push(cur)) return false;
+      cur = 0;
+    }
+    return true;
+  };
+
+  int rd;
+  while (ok && (rd = gzread(f, chunk, CHUNK)) > 0) {
+    for (int i = 0; i < rd; i++) {
+      uint8_t c = chunk[i];
+      if (c == '\n') {
+        in_header = false;
+        at_line_start = true;
+        continue;
+      }
+      if (c == '\r') continue;
+      if (at_line_start && c == '>') {
+        if (n_records > 0 && !emit(INVALID)) {  // record separator
+          ok = false;
+          err = "out of memory";
+          break;
+        }
+        n_records++;
+        in_header = true;
+        at_line_start = false;
+        continue;
+      }
+      at_line_start = false;
+      if (in_header) continue;
+      if (n_records == 0) {
+        ok = false;
+        err = "sequence data before FASTA header";
+        break;
+      }
+      if (!emit(kTable.map[c])) {
+        ok = false;
+        err = "out of memory";
+        break;
+      }
+    }
+  }
+  if (ok && rd < 0) {
+    ok = false;
+    err = "read/decompress error";
+  }
+  if (ok && n_records == 0) {
+    ok = false;
+    err = "no FASTA records found";
+  }
+  if (ok && (n & 3) != 0) ok = packed.push(cur);  // flush partial byte
+  if (ok && run_start >= 0) {                     // close trailing run
+    ok = runs.reserve(8);
+    if (ok) {
+      int32_t* r = reinterpret_cast<int32_t*>(runs.data + runs.len);
+      r[0] = static_cast<int32_t>(run_start);
+      r[1] = static_cast<int32_t>(n);
+      runs.len += 8;
+    } else {
+      err = "out of memory";
+    }
+  }
+  free(chunk);
+  gzclose(f);
+  if (!ok) {
+    free(packed.data);
+    free(runs.data);
+    set_err(errbuf, errlen, err ? err : "parse error");
+    return -1;
+  }
+  *packed_out = packed.data;
+  *runs_out = reinterpret_cast<int32_t*>(runs.data);
+  *n_runs_out = static_cast<long long>(runs.len / 8);
+  return n;
+}
+
 // Pack base codes to the device input format: 2-bit codes (4 per byte,
 // little-endian within the byte) + invalid-run list [(start, end), ...].
 // codes beyond n (up to padded_len) are treated as invalid padding.

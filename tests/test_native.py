@@ -35,6 +35,35 @@ CASES = [
 
 
 @pytest.mark.parametrize("content", CASES)
+def test_fused_packed_reader_matches_numpy(tmp_path, content):
+    """hg_read_genome_packed (one-pass parse+pack) == numpy parse -> pack."""
+    p = tmp_path / "x.fna"
+    p.write_bytes(content)
+    g_native = fastx_native.read_genome_packed(p)
+    codes = _py(p)
+    g_numpy = fastx.packed_from_codes(codes)
+    assert g_native[2] == g_numpy.length == codes.shape[0]
+    np.testing.assert_array_equal(g_native[0], g_numpy.packed2)
+    np.testing.assert_array_equal(g_native[1], g_numpy.runs)
+    # and the PackedGenome expands back to the exact code array
+    np.testing.assert_array_equal(
+        fastx.codes_from_packed(g_numpy), codes
+    )
+
+
+def test_fused_packed_reader_gzip(tmp_path):
+    content = CASES[0]
+    p = tmp_path / "x.fna.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(content)
+    g = fastx.read_genome_packed(p)
+    ref = fastx.packed_from_codes(_py(p))
+    np.testing.assert_array_equal(g.packed2, ref.packed2)
+    np.testing.assert_array_equal(g.runs, ref.runs)
+    assert g.length == ref.length
+
+
+@pytest.mark.parametrize("content", CASES)
 def test_native_matches_python(tmp_path, content):
     p = tmp_path / "x.fna"
     p.write_bytes(content)

@@ -130,6 +130,93 @@ def test_local_topk_search_tiled():
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
 
 
+class TestSeqPar:
+    """Single-genome sequence parallelism (SURVEY §5 long-context row)."""
+
+    def _params(self, **kw):
+        from hypergen_tpu.params import SketchParams
+
+        kw = {"ksize": 21, "seed": 123, "scaled": 30, "hv_d": 1024, **kw}
+        return SketchParams(**kw)
+
+    def _codes(self, n, seed, with_invalid=True):
+        r = np.random.default_rng(seed)
+        codes = r.integers(0, 4, size=n).astype(np.uint8)
+        if with_invalid:  # N runs spanning chunk boundaries
+            codes[5000:5040] = 4
+            codes[20470:20490] = 4
+        return codes
+
+    def test_matches_single_device(self):
+        """A genome sharded over 8 devices == the single-device Sketcher,
+        bit for bit (hv, norm2, hash count)."""
+        from hypergen_tpu.models.sketcher import Sketcher
+        from hypergen_tpu.parallel.seqpar import (
+            make_seq_mesh, sketch_codes_seqpar,
+        )
+
+        codes = self._codes(40_000, seed=3)
+        p = self._params()
+        mesh = make_seq_mesh()
+        assert mesh.devices.size == 8
+        got = sketch_codes_seqpar(codes, p, mesh, chunk_positions=512)
+        # n_chunks = ceil((40000-20)/512) = 79 >> one device's share
+        ref = Sketcher(p, chunk_positions=512).sketch_codes(codes)
+        np.testing.assert_array_equal(got["hv"], ref["hv"])
+        assert got["norm2"] == ref["norm2"]
+        assert got["n_hashes"] == ref["n_hashes"]
+
+    def test_cross_shard_duplicate_dedup(self):
+        """k-mers repeated in far-apart chunks land on different devices;
+        global dedup must still count them once."""
+        from hypergen_tpu.models.sketcher import Sketcher
+        from hypergen_tpu.parallel.seqpar import sketch_codes_seqpar
+
+        r = np.random.default_rng(7)
+        block = r.integers(0, 4, size=4096).astype(np.uint8)
+        codes = np.concatenate([block] * 8)  # identical content per shard
+        p = self._params()
+        got = sketch_codes_seqpar(codes, p, chunk_positions=512)
+        ref = Sketcher(p, chunk_positions=512).sketch_codes(codes)
+        np.testing.assert_array_equal(got["hv"], ref["hv"])
+        assert got["n_hashes"] == ref["n_hashes"]
+
+    def test_sketcher_routes_huge_genomes(self, tmp_path):
+        """sketch_files sends genomes above seqpar_min_chunks through the
+        sharded path; output FileSketches match the batched path exactly."""
+        from hypergen_tpu.models.sketcher import Sketcher
+
+        r = np.random.default_rng(13)
+        paths = []
+        for i, n in enumerate((40_000, 3_000)):  # one huge, one normal
+            seq = r.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
+            p = tmp_path / f"g{i}.fna"
+            p.write_bytes(b">g\n" + seq.tobytes() + b"\n")
+            paths.append(p)
+        p = self._params()
+        routed = Sketcher(
+            p, chunk_positions=512, seqpar_min_chunks=16
+        ).sketch_files(paths, progress=False)
+        plain = Sketcher(
+            p, chunk_positions=512, seqpar_min_chunks=1 << 30
+        ).sketch_files(paths, progress=False)
+        for a, b in zip(routed, plain):
+            np.testing.assert_array_equal(a.hv, b.hv)
+            assert a.hv_norm_2 == b.hv_norm_2
+
+    def test_capacity_retry(self):
+        """scaled=1 keeps every k-mer: tiny initial caps must grow, not drop."""
+        from hypergen_tpu.models.sketcher import Sketcher
+        from hypergen_tpu.parallel.seqpar import sketch_codes_seqpar
+
+        codes = self._codes(12_000, seed=11, with_invalid=False)
+        p = self._params(scaled=1)
+        got = sketch_codes_seqpar(codes, p, chunk_positions=512)
+        ref = Sketcher(p, chunk_positions=512).sketch_codes(codes)
+        np.testing.assert_array_equal(got["hv"], ref["hv"])
+        assert got["n_hashes"] == ref["n_hashes"] > 5000
+
+
 def test_sharded_topk_search_tiled():
     """Multi-device streaming top-k over DB tiles == one-shot reference."""
     from hypergen_tpu.parallel.search import sharded_topk_search_tiled
