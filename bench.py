@@ -1,39 +1,50 @@
 """Benchmark harness: genomes sketched/s/chip + ANI pairs/s.
 
-Prints ONE JSON line:
+Prints ONE JSON line (last line of output):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Workload (BASELINE.json operating point): k=21, scaled=1500, D=4096,
-synthetic bacterial-scale genomes (4 Mbp). The sketch measurement covers the
-full production path per genome: host 2-bit packing, H2D transfer, k-mer
-hashing, FracMinHash, dedup, HDC encode, D2H of the HV. Every repetition
-uses DISTINCT genomes — the TPU relay in this environment caches
-(executable, inputs) -> result, so repeated inputs would lie.
+Workload (BASELINE.json operating point): k=21, scaled=1500, D=4096.
 
-ANI is measured in the two production shapes:
-  - search mode (the BASELINE north star): reference DB resident on device,
-    distinct query batches streamed, ANI + top-k computed on device, only
-    [n_queries, k] results fetched;
-  - table mode (`dist`): full int32 dot tiles fetched and mapped to ANI on
-    host (the byte-parity TSV path).
+The headline sketch number is the FULL production path measured end to end
+on real FASTA files on disk: native fused parse -> packed 2-bit codes +
+run list -> H2D through the chip tunnel -> device hash/dedup/encode -> D2H.
+A per-stage wall breakdown (fasta_read / pack+dispatch / collect) is
+reported so the tunnel share is visible (VERDICT r1: the residual gap must
+be attributable). Two realism variants accompany it: mixed-length
+GC-biased genomes with N runs (exercises bucketing + run-list fallback)
+and D=8192.
+
+Device-only metrics use chained lax.scan programs with on-device input
+generation and R2-R1 differencing (see scripts/profile_device_time.py) —
+the axon relay's ~30 ms dispatch + ~150 ms fetch + (executable, inputs)
+result cache make single-dispatch timings meaningless.
+
+ANI is measured in the production shapes: resident-DB top-k search (the
+BASELINE north star), full-table dist, and thresholded dist.
 
 vs_baseline: the reference publishes no absolute numbers (BASELINE.md);
 we normalize against REF_EST_GENOMES_PER_SEC = 50.0, an order-of-magnitude
-estimate of the reference CLI on a 16-thread CPU for 4-Mbp genomes
-(~0.25s/genome/thread for needletail+t1ha2 extraction + AVX2 encode).
-The number to watch across rounds is `value`.
+estimate of the reference CLI on a 16-thread CPU for 4-Mbp genomes.
 """
 
 import json
+import sys
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
 
 REF_EST_GENOMES_PER_SEC = 50.0
 
 GENOME_BP = 4_000_000
+N_FILES = 32
 SKETCH_BATCH = 32
-SKETCH_REPEATS = 5
+N_FILES_MIXED = 16
+MIXED_BATCH = 8  # mixed lengths span several jit buckets: keep programs small
+N_FILES_D8192 = 8
 
 ANI_DB = 49152  # GTDB-scale resident DB (BASELINE config 5); queries stream
 ANI_QUERIES = 2048
@@ -41,98 +52,120 @@ ANI_REPEATS = 3
 ANI_TOPK = 10
 ANI_TABLE_DB = 4096  # full-table (dist) mode fetches M x N ints: keep bounded
 
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
-def bench_sketch():
+
+def _write_fasta(path: Path, seq: np.ndarray) -> None:
+    path.write_bytes(b">g\n" + seq.tobytes() + b"\n")
+
+
+def _gen_uniform(d: Path, n: int, bp: int, seed0: int) -> list:
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        r = np.random.default_rng(seed0 + i)
+        _write_fasta(d / f"g{i:03d}.fna", r.choice(_BASES, size=bp))
+        paths.append(d / f"g{i:03d}.fna")
+    return paths
+
+
+def _gen_mixed(d: Path, n: int, seed0: int) -> list:
+    """Mixed lengths (1-4 Mbp log-uniform), GC bias, sprinkled N runs."""
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    total_bp = 0
+    for i in range(n):
+        # lengths from a FIXED stream so warm/timed sets share jit buckets;
+        # content from seed0 so the two sets never repeat relay inputs
+        bp = int(np.exp(
+            np.random.default_rng(555 + i).uniform(np.log(1e6), np.log(4e6))
+        ))
+        r = np.random.default_rng(seed0 + i)
+        gc = 0.35 if i % 2 else 0.65
+        probs = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+        seq = r.choice(_BASES, size=bp, p=probs)
+        for _ in range(int(r.integers(2, 30))):  # N runs (assembly gaps)
+            s = int(r.integers(0, bp - 500))
+            seq[s : s + int(r.integers(5, 400))] = ord("N")
+        _write_fasta(d / f"m{i:03d}.fna", seq)
+        paths.append(d / f"m{i:03d}.fna")
+        total_bp += bp
+    return paths, total_bp
+
+
+def _sketch_rate(paths, params, batch=SKETCH_BATCH, warm_paths=None):
+    """(genomes/s, stage_times) for sketch_files over real files.
+
+    warm_paths (same length buckets, DIFFERENT content — the relay caches
+    (executable, inputs), so re-timing identical files would lie) are
+    sketched first untimed to absorb compiles."""
     from hypergen_tpu.models.sketcher import Sketcher
+
+    sk = Sketcher(params, batch=batch)
+    sk.sketch_files(
+        warm_paths if warm_paths is not None else paths[:2], progress=False
+    )
+    t0 = time.monotonic()
+    out = sk.sketch_files(paths, progress=False)
+    dt = time.monotonic() - t0
+    assert len(out) == len(paths)
+    return len(paths) / dt, dt, dict(sk.last_stage_times)
+
+
+def bench_sketch(tmp: Path):
     from hypergen_tpu.params import SketchParams
 
-    params = SketchParams()  # k=21, scaled=1500, D=4096, t1ha2
-    B = SKETCH_BATCH
-    sketcher = Sketcher(params, chunk_positions=1 << 17, batch=B)
-    rng = np.random.default_rng(0)
-
-    def fresh_batch():
-        return [
-            rng.integers(0, 4, size=GENOME_BP, dtype=np.uint8)
-            for _ in range(B)
-        ]
-
-    # warmup: compile the bucket
-    sketcher.collect_batch(sketcher.submit_batch(fresh_batch()))
-
-    batches = [fresh_batch() for _ in range(SKETCH_REPEATS)]
-    t0 = time.monotonic()
-    n_hashes = 0
-    pending = None
-    marks = [t0]  # steady-state batch boundaries (window-2 pipeline)
-    for genomes in batches:  # overlap host pack with device work
-        handle = sketcher.submit_batch(genomes)
-        if pending is not None:
-            for r in sketcher.collect_batch(pending):
-                n_hashes += r["n_hashes"]
-            marks.append(time.monotonic())
-        pending = handle
-    for r in sketcher.collect_batch(pending):
-        n_hashes += r["n_hashes"]
-    marks.append(time.monotonic())
-    dt = marks[-1] - t0
-    n = B * SKETCH_REPEATS
-    # the chip tunnel in this environment is shared and its bandwidth
-    # swings ~5x between runs of identical code (5 to 23 genomes/s observed
-    # on the same commit); the median collect-to-collect batch time is the
-    # steady-state estimate (min would alias pipeline jitter: two async
-    # collects can complete back-to-back), wall rate reported alongside
-    per_batch = np.diff(marks)
-    med = float(np.median(per_batch)) if len(per_batch) else dt
-    return {
-        "genomes_per_sec": B / med,
-        "genomes_per_sec_wall": n / dt,
-        "bp_per_sec": B * GENOME_BP / med,
-        "mean_hashes_per_genome": n_hashes / n,
-        "sketch_wall_s": dt,
+    res = {}
+    # --- headline: uniform 4 Mbp genomes, default params -------------------
+    paths = _gen_uniform(tmp / "uniform", N_FILES, GENOME_BP, 100)
+    rate, dt, stages = _sketch_rate(paths, SketchParams())
+    total = sum(stages.values()) or 1.0
+    res["genomes_per_sec"] = rate
+    res["bp_per_sec"] = rate * GENOME_BP
+    res["sketch_wall_s"] = dt
+    res["stage_shares"] = {
+        k: round(v / total, 3) for k, v in sorted(stages.items())
     }
-
-
-def bench_device_step():
-    """Device-pipeline throughput with inputs already resident: what the
-    chip itself sustains once the host/tunnel transfer is overlapped or
-    amortized (the per-chip number for multi-chip projections)."""
-    import jax
-
-    from hypergen_tpu.models.sketcher import (
-        make_sketch_step, pack_codes_runs, split_step_output,
+    # --- realism: mixed lengths + GC bias + N runs (BASELINE config 3).
+    # Warm set = same seeds+900 offset -> same length profile (same jit
+    # buckets), different content (defeats the relay result cache).
+    wpaths, _ = _gen_mixed(tmp / "mixed_warm", N_FILES_MIXED, 900)
+    mpaths, mixed_bp = _gen_mixed(tmp / "mixed", N_FILES_MIXED, 1900)
+    mrate, mdt, _ = _sketch_rate(
+        mpaths, SketchParams(), batch=MIXED_BATCH, warm_paths=wpaths
     )
-    from hypergen_tpu.params import SketchParams, fracminhash_threshold
-
-    p = SketchParams()
-    B, NC, C = 8, 32, 1 << 17
-    L_ext = NC * C + p.ksize - 1
-    L_pad = -(-L_ext // 8) * 8
-    enc_cap = -(-(3 * (NC * C // p.scaled) + 512) // 256) * 256
-    step = make_sketch_step(
-        ksize=p.ksize, seed=p.seed, threshold=fracminhash_threshold(p.scaled),
-        hv_d=p.hv_d, batch=B, n_chunks=NC, chunk_positions=C, chunk_cap=8,
-        enc_cap=enc_cap, encode_block=512, extract_block=512,
-        use_pallas=True, validity="runs",
+    res["genomes_per_sec_mixed"] = mrate
+    res["bp_per_sec_mixed"] = mixed_bp / mdt
+    # --- D=8192 -------------------------------------------------------------
+    drate, _, _ = _sketch_rate(
+        paths[:N_FILES_D8192], SketchParams(hv_d=8192), batch=MIXED_BATCH,
+        warm_paths=paths[N_FILES_D8192 : N_FILES_D8192 + 2],
     )
-    rng = np.random.default_rng(7)
-    ins = []
-    for _ in range(4):
-        p2 = np.empty((B, L_pad // 4), np.uint8)
-        runs = np.zeros((B, 512, 2), np.int32)
-        for i in range(B):
-            p2[i], runs[i], _ = pack_codes_runs(
-                rng.integers(0, 4, size=L_ext, dtype=np.uint8), L_pad, 512
-            )
-        ins.append((jax.device_put(p2), jax.device_put(runs)))
-    split_step_output(jax.device_get(step(*ins[0])))  # compile + settle
-    times = []
-    for d in ins:
-        t0 = time.monotonic()
-        split_step_output(jax.device_get(step(*d)))
-        times.append(time.monotonic() - t0)
-    med = float(np.median(times))
-    return {"device_step_genomes_per_sec": B / med}
+    res["genomes_per_sec_d8192"] = drate
+    return res
+
+
+def bench_device():
+    """Tunnel-free device-only rates (chained-scan differencing).
+
+    Only the two BASELINE-graded stages run here (each chained program costs
+    ~40 s of remote executable load even when compile-cached); the hash
+    kernel and encode breakdowns live in scripts/profile_device_time.py and
+    scripts/profile_step_substages.py.
+    """
+    import profile_device_time as pdt
+
+    out = {}
+    # NC=8 (1 Mbp genomes) keeps the chained program's remote load time
+    # bounded; device throughput is ~linear in bp, so Mbp/s is the portable
+    # number (the full 4-Mbp point measured 830 Mbp/s = 197.9 genomes/s,
+    # scripts/profile_device_time.py defaults)
+    step = pdt.sketch_step_device_time(NC=8)
+    out["device_step_mbp_per_sec"] = step["mbp_per_s"]
+    out["device_step_genomes4m_per_sec"] = step["mbp_per_s"] / 4.194
+    dot = pdt.search_matmul_device_time()
+    out["device_search_int8_tops"] = dot["int8_tops"]
+    return out
 
 
 def bench_ani():
@@ -155,7 +188,7 @@ def bench_ani():
     db_dev = jax.device_put(db)
     dbn_dev = jax.device_put(dbn)
     q0, qn0 = fresh_q()
-    jax.block_until_ready(
+    jax.device_get(
         ani_topk(db_dev, dbn_dev, jnp.asarray(q0), jnp.asarray(qn0), 21, ANI_TOPK)
     )
     queries = [fresh_q() for _ in range(ANI_REPEATS)]
@@ -225,22 +258,30 @@ def main():
 
     enable_compilation_cache()
     backend = jax.default_backend()
-    sk = bench_sketch()
-    dev = bench_device_step()
+    with tempfile.TemporaryDirectory(prefix="hgbench_") as td:
+        sk = bench_sketch(Path(td))
+    dev = bench_device()
     an = bench_ani()
     value = round(sk["genomes_per_sec"], 3)
     out = {
-        "metric": "genomes sketched/s/chip (4Mbp, k=21, s=1500, D=4096)",
+        "metric": "genomes sketched/s/chip (4Mbp, k=21, s=1500, D=4096, "
+                  "files on disk end-to-end)",
         "value": value,
         "unit": "genomes/s",
         "vs_baseline": round(value / REF_EST_GENOMES_PER_SEC, 3),
         "extra": {
             "backend": backend,
-            "genomes_per_sec_wall": round(sk["genomes_per_sec_wall"], 3),
             "bp_per_sec": round(sk["bp_per_sec"], 0),
-            "mean_hashes_per_genome": round(sk["mean_hashes_per_genome"], 1),
-            "device_step_genomes_per_sec": round(
-                dev["device_step_genomes_per_sec"], 3
+            "stage_shares": sk["stage_shares"],
+            "genomes_per_sec_mixed": round(sk["genomes_per_sec_mixed"], 3),
+            "bp_per_sec_mixed": round(sk["bp_per_sec_mixed"], 0),
+            "genomes_per_sec_d8192": round(sk["genomes_per_sec_d8192"], 3),
+            "device_step_genomes4m_per_sec": round(
+                dev["device_step_genomes4m_per_sec"], 1
+            ),
+            "device_step_mbp_per_sec": round(dev["device_step_mbp_per_sec"], 0),
+            "device_search_int8_tops": round(
+                dev["device_search_int8_tops"], 1
             ),
             "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
             "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),

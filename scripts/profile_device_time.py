@@ -35,7 +35,7 @@ from hypergen_tpu.utils.jaxcache import enable_compilation_cache
 B, NC, C = 8, 32, 1 << 17  # 8 genomes x 4.19 Mbp
 K, SCALED, D = 21, 1500, 4096
 R1, R2 = 2, 8
-REPS = 3
+REPS = 2
 
 
 def _mix32(x: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +84,7 @@ def _per_iter(make_fn, tag):
     return dt, times[R1], times[R2]
 
 
-def sketch_step_device_time():
+def sketch_step_device_time(NC: int = NC):
     from hypergen_tpu.models.sketcher import make_sketch_step
     from hypergen_tpu.params import SketchParams, fracminhash_threshold
 
