@@ -158,9 +158,10 @@ def bench_device():
     out = {}
     # NC=8 (1 Mbp genomes) keeps the chained program's remote load time
     # bounded; device throughput is ~linear in bp, so Mbp/s is the portable
-    # number (the full 4-Mbp point measured 830 Mbp/s = 197.9 genomes/s,
-    # scripts/profile_device_time.py defaults)
-    step = pdt.sketch_step_device_time(NC=8)
+    # number. The fused packed step is the production path (r2: 13.1 ms for
+    # 8 x 4.19 Mbp at NC=32 -> 2.56 Gbp/s; the unfused runs-path step it
+    # replaced measured 40.4 ms)
+    step = pdt.sketch_step_packed_device_time(NC=8)
     out["device_step_mbp_per_sec"] = step["mbp_per_s"]
     out["device_step_genomes4m_per_sec"] = step["mbp_per_s"] / 4.194
     dot = pdt.search_matmul_device_time()

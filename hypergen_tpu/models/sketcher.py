@@ -200,6 +200,43 @@ def _dedup_sorted_batched(h: U64) -> Tuple[U64, jnp.ndarray]:
     return U64(hi_s, lo_s), differs & ~is_sent
 
 
+def packed_row_words(n_chunks: int, chunk_positions: int) -> int:
+    """u32 words per genome row for the fused packed step (16 codes/word;
+    two slack words cover the last cell's word-aligned halo read)."""
+    return n_chunks * chunk_positions // 16 + 4
+
+
+def packed_cells(chunk_positions: int) -> int:
+    """Kernel cell count for the packed path (cells must divide C/16;
+    4096 is the ILP sweet spot — see hash_kernel.CELLS notes). 0 = C too
+    small/misaligned for the packed path."""
+    for c in (4096, 1024, 128):
+        if chunk_positions % (16 * c) == 0:
+            return c
+    return 0
+
+
+def filter_positions_by_runs(
+    pos: jnp.ndarray, runs: jnp.ndarray, ksize: int
+) -> jnp.ndarray:
+    """Device postfilter: which k-mer windows avoid every invalid run.
+
+    pos: i32 [B, S] genome-global k-mer starts (window [p, p+k)).
+    runs: i32 [B, R, 2] disjoint [start, end) invalid runs, padded with
+    INT32_MAX rows. Returns bool [B, S]: True = window clean.
+
+    Dense broadcast-compare + any-reduce over the run axis: S*R bool ops,
+    zero gathers. TPU gathers (a searchsorted would need log R of them per
+    query) lower to near-scalar code — at S ~ 3e4 extracted survivors and
+    R = 512 the dense form is a trivially fused reduction instead.
+    """
+    starts = runs[:, None, :, 0]  # [B, 1, R]
+    ends = runs[:, None, :, 1]
+    p = pos[:, :, None]
+    hit = (starts < p + ksize) & (ends > p)
+    return ~jnp.any(hit, axis=-1)
+
+
 def make_sketch_step(
     ksize: int,
     seed: int,
@@ -217,22 +254,77 @@ def make_sketch_step(
     use_pallas: bool = True,
     jit_compile: bool = True,
     validity: str = "mask",
+    pallas_interpret: bool = False,
+    packed_be_cap: int = 8,
 ):
     """Batched sketch step: B packed genomes -> B sketch HVs in one dispatch.
 
     Genome layout: each genome occupies L_ext = n_chunks*C + k - 1 padded
     positions (invalid padding). chunk_cap = survivor slots per
-    extract_block positions (block path) or per chunk (scatter path when
-    extract_block == 0).
+    extract_block positions (block path), per chunk (scatter path when
+    extract_block == 0), or per kernel cell ("packed").
 
     validity: "mask" takes (packed2 [B, L/4] u8, packedv [B, L/8] u8);
     "runs" takes (packed2, runs [B, R, 2] i32 invalid-run list) — 8x less
-    H2D for the validity side, the production default.
+    H2D for the validity side; "packed" (the TPU production default) takes
+    (packed words u32 [B, W], runs, n_pos i32 [B]) and runs the fused
+    Pallas kernel: unpack, hash, threshold, and per-cell survivor
+    compaction all in VMEM, with invalid windows repaired by the sparse
+    run postfilter — HBM never sees a position-dense intermediate.
     """
     C = chunk_positions
     k = ksize
     L_ext = n_chunks * C + k - 1
     L_pad = -(-L_ext // 8) * 8
+
+    def _finish(flat: U64, max_count, extra_count):
+        """Shared back half: dedup, encode, fused output assembly."""
+        sorted_h, unique = _dedup_sorted_batched(flat)
+        enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (batch, enc_cap), 1)
+            < n_hashes[:, None]
+        )
+        hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
+        hv16 = hv_to_i16(hv32)
+        norm2 = hv_norm2_i32(hv16)
+        # single fused output [B, D+8] i16: every output buffer is a
+        # separate (expensive) D2H round trip through the TPU relay, so the
+        # meta ints ride along bitcast into the hv row tail
+        if max_count.ndim == 0:
+            max_count = jnp.broadcast_to(max_count, norm2.shape)
+        elif max_count.ndim > 1:  # per-block counts: reduce to per-genome
+            max_count = jnp.max(max_count, axis=-1)
+        meta = jnp.stack(
+            [norm2, n_hashes, max_count, extra_count], axis=-1
+        )
+        meta16 = jax.lax.bitcast_convert_type(meta, jnp.int16).reshape(
+            meta.shape[0], 8
+        )
+        return jnp.concatenate([hv16, meta16], axis=-1)
+
+    def packed_step(p2w: jnp.ndarray, runs: jnp.ndarray, n_pos: jnp.ndarray):
+        from hypergen_tpu.ops.pallas.hash_kernel import (
+            hash_packed_rows_pallas,
+        )
+
+        cells = packed_cells(C)
+        h, pos, valid, cell_max = hash_packed_rows_pallas(
+            p2w, n_pos, n_chunks, C, k, seed, threshold,
+            canonical=canonical, method=method, cells=cells, cap=chunk_cap,
+            interpret=pallas_interpret,
+        )
+        # extract FIRST (reduces ~nc*cells*cap slots to ~nb*be_cap entries),
+        # then repair invalid-window survivors on the small extracted set
+        flat, _, be_max, flat_pos = block_extract(
+            h, valid, 512, packed_be_cap, payload=pos
+        )
+        clean = filter_positions_by_runs(flat_pos, runs, k)
+        flat = U64(
+            jnp.where(clean, flat.hi, _SENT),
+            jnp.where(clean, flat.lo, _SENT),
+        )
+        return _finish(flat, cell_max, be_max)
 
     def step(packed2: jnp.ndarray, validity_in: jnp.ndarray):
         if validity == "runs":
@@ -280,37 +372,17 @@ def make_sketch_step(
                 jnp.where(filled, comp.lo, _SENT),
             )
             max_count = counts
-        sorted_h, unique = _dedup_sorted_batched(flat)
-        enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)  # [B, enc_cap]
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (batch, enc_cap), 1)
-            < n_hashes[:, None]
-        )
-        hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
-        hv16 = hv_to_i16(hv32)
-        norm2 = hv_norm2_i32(hv16)
-        # single fused output [B, D+8] i16: every output buffer is a
-        # separate (expensive) D2H round trip through the TPU relay, so the
-        # meta ints ride along bitcast into the hv row tail
-        if max_count.ndim == 0:
-            max_count = jnp.broadcast_to(max_count, norm2.shape)
-        elif max_count.ndim > 1:  # per-block counts: reduce to per-genome
-            max_count = jnp.max(max_count, axis=-1)
-        meta = jnp.stack(
-            [norm2, n_hashes, max_count, jnp.zeros_like(norm2)], axis=-1
-        )
-        meta16 = jax.lax.bitcast_convert_type(meta, jnp.int16).reshape(
-            meta.shape[0], 8
-        )
-        return jnp.concatenate([hv16, meta16], axis=-1)
+        return _finish(flat, max_count, jnp.zeros((batch,), jnp.int32))
 
-    return jax.jit(step) if jit_compile else step
+    fn = packed_step if validity == "packed" else step
+    return jax.jit(fn) if jit_compile else fn
 
 
 def split_step_output(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Fused [B, D+8] i16 step output -> (hv i16 [B, D], meta i32 [B, 4]).
 
-    meta columns: 0 norm2, 1 n_hashes, 2 max survivor count, 3 reserved.
+    meta columns: 0 norm2, 1 n_hashes, 2 max survivor count, 3 max
+    block-extract count (packed path) / 0 otherwise.
     """
     out = np.asarray(out)
     hv = out[:, :-8]
@@ -342,6 +414,7 @@ class Sketcher:
         use_pallas: Optional[bool] = None,
         run_cap: int = 512,
         seqpar_min_chunks: int = 512,
+        pallas_interpret: bool = False,
     ):
         params.validate()
         self.params = params
@@ -353,6 +426,25 @@ class Sketcher:
                 jax.default_backend() == "tpu" and self.C % 1024 == 0
             )
         self.use_pallas = bool(use_pallas)
+        self.pallas_interpret = bool(pallas_interpret)
+        # fused packed path: unpack+hash+compact in one Pallas kernel, runs
+        # repaired by the sparse postfilter (the TPU production default)
+        cells = packed_cells(self.C)
+        self.packed_mode = self.use_pallas and cells > 0
+        lsub = self.C // cells if cells else 0
+        self.cell_cap = int(
+            min(max(4, -(-8 * lsub // max(params.scaled, 1))), lsub)
+        ) if cells else 0
+        # block_extract over the slot array: slot plane s=0 (first survivor
+        # of every cell) is the dense one — a 512-slot block there covers
+        # 512 cells, so its rate is 512 * P(cell has a survivor) <=
+        # 512*lsub/scaled. Size the cap for that plane with a
+        # lambda + 6*sqrt(lambda) tail margin (retry ladder still backstops)
+        if cells:
+            lam = 512 * lsub / max(params.scaled, 1)
+            self.be_cap = int(min(512, max(8, lam + 6 * lam ** 0.5 + 4)))
+        else:
+            self.be_cap = 8
         # scatter-free block extraction when survivor density is low enough
         # for a few slots per 512-position block (production scaled)
         if params.scaled >= 400 and self.C % 512 == 0:
@@ -382,10 +474,12 @@ class Sketcher:
         return int(-(-cap // 256) * 256)
 
     def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None,
-                  validity: str = "runs"):
+                  validity: str = "runs", be_cap: Optional[int] = None):
         p = self.params
         if chunk_cap:
             cap = chunk_cap
+        elif validity == "packed":
+            cap = self.cell_cap
         elif self.extract_block:
             cap = self.chunk_cap
         else:  # scatter path: cap covers the whole genome's survivors
@@ -393,7 +487,8 @@ class Sketcher:
                 self.chunk_cap,
                 -(-6 * n_chunks * self.C // max(p.scaled, 1) // 256) * 256,
             )
-        key = (n_chunks, cap, self._enc_cap(n_chunks), validity)
+        be = be_cap or self.be_cap
+        key = (n_chunks, cap, self._enc_cap(n_chunks), validity, be)
         if key not in self._steps:
             self._steps[key] = make_sketch_step(
                 ksize=p.ksize,
@@ -411,8 +506,10 @@ class Sketcher:
                 extract_block=self.extract_block,
                 use_pallas=self.use_pallas,
                 validity=validity,
+                pallas_interpret=self.pallas_interpret,
+                packed_be_cap=be,
             )
-        return self._steps[key], cap, key[2]
+        return self._steps[key], cap, key[2], be
 
     def _bucket(self, L: int) -> int:
         n_pos = max(L - self.params.ksize + 1, 1)
@@ -427,9 +524,26 @@ class Sketcher:
         Falls back to a dense validity bitmask when a genome's run list
         exceeds run_cap (never drops data).
 
-        Returns (validity_mode, packed2, validity_array).
+        Returns (validity_mode, *step_args).
         """
         k = self.params.ksize
+        if self.packed_mode and all(
+            g.runs.shape[0] <= self.run_cap for g in genomes
+        ):
+            # fused packed path: u32 words + raw run lists + k-mer counts
+            W = packed_row_words(n_chunks, self.C)
+            buf = np.zeros((self.batch, W * 4), dtype=np.uint8)
+            runs = np.full(
+                (self.batch, self.run_cap, 2), np.int32(0x7FFFFFFF),
+                dtype=np.int32,
+            )
+            n_pos = np.zeros(self.batch, dtype=np.int32)
+            for i, g in enumerate(genomes):
+                nb = min(g.packed2.shape[0], W * 4)
+                buf[i, :nb] = g.packed2[:nb]
+                runs[i, : g.runs.shape[0]] = g.runs
+                n_pos[i] = max(g.length - k + 1, 0)
+            return "packed", buf.view(np.uint32), runs, n_pos
         L_ext = n_chunks * self.C + k - 1
         L_pad = -(-L_ext // 8) * 8
         adj: List[np.ndarray] = []
@@ -470,17 +584,17 @@ class Sketcher:
         if not 1 <= len(genomes) <= self.batch:
             raise ValueError(f"batch size must be in [1, {self.batch}]")
         n_chunks = max(self._bucket(g.length) for g in genomes)
-        mode, p2, val = self._prepare_batch(genomes, n_chunks)
-        step, cap, enc_cap = self._get_step(n_chunks, validity=mode)
-        out = step(jnp.asarray(p2), jnp.asarray(val))
+        mode, *args = self._prepare_batch(genomes, n_chunks)
+        step, cap, enc_cap, be_cap = self._get_step(n_chunks, validity=mode)
+        out = step(*(jnp.asarray(a) for a in args))
         return {
             "out": out,
             "n": len(genomes),
-            "p2": p2,
-            "val": val,
+            "args": args,
             "n_chunks": n_chunks,
             "cap": cap,
             "enc_cap": enc_cap,
+            "be_cap": be_cap,
             "validity": mode,
         }
 
@@ -502,44 +616,29 @@ class Sketcher:
         """Realize a batch; retries exactly on capacity overflow (rare)."""
         hv, meta = split_step_output(jax.device_get(handle["out"]))
         n = handle["n"]
-        max_count = int(np.max(meta[:n, 2])) if n else 0
-        n_hashes = meta[:n, 1]
-        if max_count <= handle["cap"] and int(n_hashes.max(initial=0)) <= handle["enc_cap"]:
-            return [
-                {
-                    "hv": hv[i],
-                    "norm2": int(meta[i, 0]),
-                    "n_hashes": int(n_hashes[i]),
-                }
-                for i in range(n)
-            ]
-        # grow capacity and recompute this batch synchronously (device
-        # inputs are reused from the handle; only the step caps change)
-        chunk_cap = handle["cap"]
-        for _ in range(6):
-            if max_count > chunk_cap:
-                log.warning(
-                    "survivor cap overflow (%d > %d); retrying",
-                    max_count, chunk_cap,
-                )
-                chunk_cap *= 2
-            if int(n_hashes.max(initial=0)) > handle["enc_cap"]:
-                log.warning(
-                    "encode cap overflow (%d > %d); retrying",
-                    int(n_hashes.max(initial=0)), handle["enc_cap"],
-                )
-                self._enc_overflow_factor *= 2
-            step, cap, enc_cap = self._get_step(
-                handle["n_chunks"], chunk_cap, validity=handle["validity"]
+        mode = handle["validity"]
+        cells = packed_cells(self.C)
+        lsub = self.C // cells if cells else 0
+
+        def counts():
+            # meta cols: 0 norm2, 1 n_hashes, 2 slot/cell max, 3 be max
+            return (
+                int(np.max(meta[:n, 2])) if n else 0,
+                int(np.max(meta[:n, 3])) if n else 0,
+                meta[:n, 1],
             )
-            hv, meta = split_step_output(
-                jax.device_get(
-                    step(jnp.asarray(handle["p2"]), jnp.asarray(handle["val"]))
-                )
+
+        chunk_cap, be_cap, enc_cap = (
+            handle["cap"], handle["be_cap"], handle["enc_cap"]
+        )
+        for attempt in range(7):
+            max_count, be_max, n_hashes = counts()
+            ok = (
+                max_count <= chunk_cap
+                and int(n_hashes.max(initial=0)) <= enc_cap
+                and (mode != "packed" or be_max <= be_cap)
             )
-            max_count = int(np.max(meta[:n, 2]))
-            n_hashes = meta[:n, 1]
-            if max_count <= cap and int(n_hashes.max(initial=0)) <= enc_cap:
+            if ok:
                 return [
                     {
                         "hv": hv[i],
@@ -548,6 +647,37 @@ class Sketcher:
                     }
                     for i in range(n)
                 ]
+            # grow whichever capacity overflowed and recompute this batch
+            # synchronously (host inputs are reused from the handle)
+            if max_count > chunk_cap:
+                log.warning(
+                    "survivor cap overflow (%d > %d); retrying",
+                    max_count, chunk_cap,
+                )
+                chunk_cap = (
+                    min(chunk_cap * 2, lsub) if mode == "packed"
+                    else chunk_cap * 2
+                )
+            if mode == "packed" and be_max > be_cap:
+                log.warning(
+                    "extract cap overflow (%d > %d); retrying",
+                    be_max, be_cap,
+                )
+                be_cap = min(be_cap * 2, 512)
+            if int(n_hashes.max(initial=0)) > enc_cap:
+                log.warning(
+                    "encode cap overflow (%d > %d); retrying",
+                    int(n_hashes.max(initial=0)), enc_cap,
+                )
+                self._enc_overflow_factor *= 2
+            step, chunk_cap, enc_cap, be_cap = self._get_step(
+                handle["n_chunks"], chunk_cap, validity=mode, be_cap=be_cap
+            )
+            hv, meta = split_step_output(
+                jax.device_get(
+                    step(*(jnp.asarray(a) for a in handle["args"]))
+                )
+            )
         raise RuntimeError("sketcher capacity retry limit exceeded")
 
     def submit(self, codes: np.ndarray):

@@ -51,7 +51,8 @@ def _scatter_last(out: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.n
 
 
 def block_extract(
-    h: U64, keep: jnp.ndarray, block: int, slots: int
+    h: U64, keep: jnp.ndarray, block: int, slots: int,
+    payload: jnp.ndarray = None,
 ) -> Tuple[U64, jnp.ndarray, jnp.ndarray]:
     """Scatter-free sparse compaction: masked-max slot extraction.
 
@@ -66,6 +67,9 @@ def block_extract(
       (out: U64 [..., nb*slots] — sentinel U64_MAX in empty slots,
        block_counts: int32 [..., nb],
        max_count: int32 [...] — caller checks <= slots for exactness).
+    payload (optional): int32 [..., P] >= 0 values riding along with each
+    survivor (e.g. its position); returned as a fourth output
+    [..., nb*slots] with -1 in empty slots.
     """
     P = keep.shape[-1]
     if P % block != 0:
@@ -79,10 +83,15 @@ def block_extract(
     counts = rank[..., -1]
     outs_hi = []
     outs_lo = []
+    outs_pl = []
+    if payload is not None:
+        pl_b = payload.reshape(lead + (nb, block))
     for s in range(slots):
         sel = keep_b & (rank == (s + 1))
         outs_hi.append(jnp.max(jnp.where(sel, hi_b, 0), axis=-1))
         outs_lo.append(jnp.max(jnp.where(sel, lo_b, 0), axis=-1))
+        if payload is not None:
+            outs_pl.append(jnp.max(jnp.where(sel, pl_b, -1), axis=-1))
     out_hi = jnp.stack(outs_hi, axis=-1)  # [..., nb, slots]
     out_lo = jnp.stack(outs_lo, axis=-1)
     slot_idx = jax.lax.broadcasted_iota(jnp.int32, out_hi.shape, out_hi.ndim - 1)
@@ -91,8 +100,11 @@ def block_extract(
     out_hi = jnp.where(empty, sent, out_hi)
     out_lo = jnp.where(empty, sent, out_lo)
     max_count = jnp.max(counts, axis=-1)
-    return (
+    out = (
         U64(out_hi.reshape(lead + (nb * slots,)), out_lo.reshape(lead + (nb * slots,))),
         counts,
         max_count,
     )
+    if payload is not None:
+        return out + (jnp.stack(outs_pl, axis=-1).reshape(lead + (nb * slots,)),)
+    return out

@@ -160,6 +160,258 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
     jax.lax.fori_loop(0, lsub + k - 1, body, None)
 
 
+def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
+                           slot_pos_ref, cnt_ref, state_ref, *, ksize, seed,
+                           threshold, canonical, method, lsub, sub, cap):
+    """Fully-fused sketch front half: packed 2-bit words in, survivor slots out.
+
+    Differences from _rolling_kernel (the codes-in/hashes-out variant):
+      - input is u32 words holding 16 packed bases each — the kernel unpacks
+        in-register, so HBM sees 2 bits/position instead of 32;
+      - no validity input: every position is hashed optimistically (invalid
+        regions carry arbitrary 2-bit garbage) and false survivors are
+        repaired *exactly* by the caller's sparse run-overlap postfilter —
+        optimistic dense compute + exact sparse repair is the TPU-native
+        replacement for the reference's per-position run counter
+        (reference:src/cuda_kernel.cu:277-296);
+      - positions past the genome's k-mer count are masked via a per-chunk
+        SMEM scalar (kills the all-'A' padding tail, whose single repeated
+        hash could otherwise flood the slots);
+      - survivors compact into `cap` per-cell VMEM slots right here (their
+        chunk-local position rides along for the postfilter), so HBM output
+        is ~cap/lsub of a position-dense hash array. Like the reference GPU
+        slot design (reference:src/cuda_kernel.cu:316) but with the true
+        count emitted — overflow is detected and retried, never dropped.
+
+    Loop structure matches _rolling_kernel (fori_loop, rolling state in VMEM
+    scratch — see the Mosaic relayout note there): the only input change is
+    that each step extracts its base from the current packed word with a
+    dynamic shift instead of loading a byte.
+    """
+    k = ksize
+    n_u32 = (k + 3) // 4
+    n_words = (k + 7) // 8
+    top_word_mask = np.uint32((1 << (8 * (k - 4 * (n_u32 - 1)))) - 1)
+    kmer_mask = (1 << (2 * k)) - 1
+    kmer_hi_mask = np.uint32(kmer_mask >> 32)
+    kmer_lo_mask = np.uint32(kmer_mask & 0xFFFFFFFF)
+    new_q, new_s = divmod(k - 1, 4)
+    rc_shift = 2 * k - 2
+    T = lsub + k - 1
+
+    zero = jnp.zeros((sub, 128), dtype=jnp.uint32)
+    for s in range(cap):
+        slot_hi_ref[0, s] = jnp.full((sub, 128), _SENT, jnp.uint32)
+        slot_lo_ref[0, s] = jnp.full((sub, 128), _SENT, jnp.uint32)
+        slot_pos_ref[0, s] = jnp.full((sub, 128), -1, jnp.int32)
+    cnt_ref[0, 0] = jnp.zeros((sub, 128), dtype=jnp.int32)
+    state_ref[:] = jnp.zeros_like(state_ref)
+    pos_end = pos_end_ref[pl.program_id(0)]  # scalar-prefetch SMEM array
+    cell_base = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+    ) * lsub
+
+    def body(t, _):
+        # state rows: 0-1 f2 (hi, lo), 2-3 r2 (hi, lo),
+        # 4..4+n_u32 fwd ASCII words, then n_u32 rc ASCII words
+        f2 = U64(state_ref[0], state_ref[1])
+        r2 = U64(state_ref[2], state_ref[3])
+        fw = [state_ref[4 + q] for q in range(n_u32)]
+        rw = [state_ref[4 + n_u32 + q] for q in range(n_u32)]
+        w = words_ref[0, t // 16]
+        shift = (np.uint32(2) * (t % 16).astype(jnp.uint32))
+        cb = (w >> shift) & np.uint32(3)
+
+        f2 = u.shl(f2, 2)
+        f2 = U64(f2.hi & kmer_hi_mask, (f2.lo & kmer_lo_mask) | cb)
+        comp = np.uint32(3) - cb
+        r2 = u.shr(r2, 2)
+        if rc_shift >= 32:
+            r2 = U64(r2.hi | (comp << np.uint32(rc_shift - 32)), r2.lo)
+        else:
+            r2 = U64(r2.hi, r2.lo | (comp << np.uint32(rc_shift)))
+
+        if method == "t1ha2":
+            a_f = _ascii_from_code(cb)
+            a_r = _ascii_from_code(comp)
+            nfw = []
+            for q in range(n_u32):
+                x = fw[q] >> 8
+                if q + 1 < n_u32:
+                    x = x | ((fw[q + 1] & np.uint32(0xFF)) << 24)
+                nfw.append(x)
+            nfw[new_q] = nfw[new_q] | (a_f << np.uint32(8 * new_s))
+            nrw = []
+            for q in range(n_u32):
+                x = rw[q] << 8
+                if q > 0:
+                    x = x | (rw[q - 1] >> 24)
+                nrw.append(x)
+            nrw[0] = nrw[0] | a_r
+            nrw[n_u32 - 1] = nrw[n_u32 - 1] & top_word_mask
+            fw, rw = nfw, nrw
+
+        if canonical:
+            is_rc = u.lt(r2, f2)
+        else:
+            is_rc = jnp.zeros((sub, 128), dtype=bool)
+
+        if method == "t1ha2":
+            sel = [jnp.where(is_rc, rw[q], fw[q]) for q in range(n_u32)]
+            words = []
+            for wq in range(n_words):
+                lo = sel[2 * wq]
+                hi = sel[2 * wq + 1] if 2 * wq + 1 < n_u32 else zero
+                words.append(U64(hi, lo))
+            h = t1ha2_atonce_words(words, k, seed)
+        else:
+            key = u.select(is_rc, r2, f2) if canonical else f2
+            h = mm_hash64(key)
+
+        @pl.when(t >= k - 1)
+        def _():
+            pos = cell_base + (t - (k - 1))
+            keep = u.lt_const(h, threshold) & (pos < pos_end)
+            cnt = cnt_ref[0, 0]
+            for s in range(cap):
+                put = keep & (cnt == s)
+                slot_hi_ref[0, s] = jnp.where(put, h.hi, slot_hi_ref[0, s])
+                slot_lo_ref[0, s] = jnp.where(put, h.lo, slot_lo_ref[0, s])
+                slot_pos_ref[0, s] = jnp.where(put, pos, slot_pos_ref[0, s])
+            cnt_ref[0, 0] = cnt + keep.astype(jnp.int32)
+
+        state_ref[0], state_ref[1] = f2.hi, f2.lo
+        state_ref[2], state_ref[3] = r2.hi, r2.lo
+        if method == "t1ha2":
+            for q in range(n_u32):
+                state_ref[4 + q] = fw[q]
+                state_ref[4 + n_u32 + q] = rw[q]
+        return None
+
+    jax.lax.fori_loop(0, T, body, None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "chunk_positions", "ksize", "seed",
+                     "threshold", "canonical", "method", "interpret", "cells",
+                     "cap"),
+)
+def hash_packed_rows_pallas(
+    packed_words: jnp.ndarray,
+    n_pos: jnp.ndarray,
+    n_chunks: int,
+    chunk_positions: int,
+    ksize: int,
+    seed: int,
+    threshold: int,
+    canonical: bool = True,
+    method: str = "t1ha2",
+    interpret: bool = False,
+    cells: int = CELLS,
+    cap: int = 4,
+):
+    """Fused front half of the sketch step straight from packed rows.
+
+    packed_words: u32 [B, W] — per-genome 2-bit base codes, 16 per word
+      (position p at bits [2*(p%16), +2) of word p//16). Rows must cover
+      n_chunks*chunk_positions positions plus >= 2 slack words (invalid /
+      padding regions may hold arbitrary bits).
+    n_pos: i32 [B] — k-mer positions per genome; positions >= n_pos are
+      masked in-kernel (everything below is postfiltered by the caller
+      against the genome's invalid-run list).
+
+    Returns (h: U64 [B, S], pos: i32 [B, S] genome-global k-mer start,
+    valid: bool [B, S], cell_max: i32 [B]) with S = n_chunks*cells*cap.
+    Empty slots carry the U64_MAX sentinel / pos -1. cell_max > cap means
+    slot overflow: retry with a larger cap (exactness is never traded).
+    """
+    B, W = packed_words.shape
+    C = chunk_positions
+    if cells % 128 != 0:
+        raise ValueError(f"cells {cells} must be a multiple of 128")
+    if C % cells != 0 or (C // cells) % 16 != 0:
+        raise ValueError(
+            f"chunk positions {C} must be a multiple of 16*cells ({16 * cells})"
+        )
+    sub = cells // 128
+    lsub = C // cells
+    T_w = -(-(lsub + ksize - 1) // 16)
+    iw, lw = C // 16, lsub // 16
+    if W < n_chunks * iw + T_w - lw:
+        raise ValueError(
+            f"packed row too short: {W} words < {n_chunks * iw + T_w - lw}"
+        )
+
+    # word relayout: chunk i, cell c reads words [i*iw + c*lw, +T_w).
+    # cw[:, i, d, c] = words[:, i*iw + c*lw + d] — for fixed d this is a
+    # stride-lw slice, which XLA lowers natively (a general gather of
+    # nc*T_w*cells indices does not)
+    planes = []
+    for d in range(T_w):
+        sl = jax.lax.slice(
+            packed_words,
+            (0, d),
+            (B, d + (n_chunks - 1) * iw + (cells - 1) * lw + 1),
+            (1, lw),
+        )  # [B, ((nc-1)*iw + (cells-1)*lw)/lw + 1] — cells per chunk stride
+        sl = sl.reshape(B, -1)[:, : n_chunks * (iw // lw)]
+        planes.append(sl.reshape(B, n_chunks, cells))
+    cw = jnp.stack(planes, axis=2)  # [B, nc, T_w, cells]
+    cw = cw.reshape(B * n_chunks, T_w, sub, 128)
+    pos_end = jnp.clip(
+        n_pos[:, None] - np.arange(n_chunks, dtype=np.int32)[None, :] * C,
+        0, C,
+    ).reshape(B * n_chunks).astype(jnp.int32)
+
+    kern = functools.partial(
+        _rolling_packed_kernel,
+        ksize=ksize, seed=seed, threshold=threshold, canonical=canonical,
+        method=method, lsub=lsub, sub=sub, cap=cap,
+    )
+    BN = B * n_chunks
+    slot_hi, slot_lo, slot_pos, cnt = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BN,),
+            in_specs=[
+                pl.BlockSpec((1, T_w, sub, 128), lambda i, *_: (i, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, cap, sub, 128), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, cap, sub, 128), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, cap, sub, 128), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, sub, 128), lambda i, *_: (i, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (4 + 2 * ((ksize + 3) // 4), sub, 128), jnp.uint32
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BN, cap, sub, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((BN, cap, sub, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((BN, cap, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((BN, 1, sub, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pos_end, cw)
+
+    S = n_chunks * cap * cells
+    h = U64(slot_hi.reshape(B, S), slot_lo.reshape(B, S))
+    # genome-global position: slot pos is chunk-local; add chunk_idx*C
+    chunk_off = np.repeat(
+        np.arange(n_chunks, dtype=np.int32), cap * cells
+    )[None, :] * C
+    pos = slot_pos.reshape(B, S) + jnp.asarray(chunk_off)
+    valid = ~((h.hi == _SENT) & (h.lo == _SENT))
+    cell_max = jnp.max(cnt.reshape(B, -1), axis=-1)
+    return h, pos, valid, cell_max
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ksize", "seed", "threshold", "canonical", "method",

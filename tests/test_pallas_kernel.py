@@ -69,6 +69,107 @@ def test_kernel_rejects_bad_width():
         hash_chunks_pallas(jnp.asarray(codes), 21, 123, 100, interpret=True)
 
 
+def _packed_inputs(genomes, nc, C, k):
+    """Host packing for hash_packed_rows_pallas from flat code arrays."""
+    from hypergen_tpu.io.fastx import packed_from_codes
+    from hypergen_tpu.models.sketcher import packed_row_words
+
+    B = len(genomes)
+    W = packed_row_words(nc, C)
+    p2w = np.zeros((B, W * 4), np.uint8)
+    runs_list, npos = [], np.zeros(B, np.int32)
+    for b, codes in enumerate(genomes):
+        g = packed_from_codes(codes)
+        p2w[b, : g.packed2.shape[0]] = g.packed2
+        runs_list.append(g.runs)
+        npos[b] = max(g.length - k + 1, 0)
+    return p2w.view(np.uint32), runs_list, npos
+
+
+def test_packed_kernel_parity():
+    """Fused packed kernel + run postfilter == XLA path hash sets.
+
+    Covers: genomes shorter than the bucket (pos_end masking of the all-'A'
+    padding tail), interior N runs (optimistic hash + exact repair), and
+    per-cell slot compaction."""
+    from hypergen_tpu.ops.pallas.hash_kernel import hash_packed_rows_pallas
+
+    k, seed, thr = 21, 123, fracminhash_threshold(3)
+    C, nc, cells, cap = 2048, 2, 128, 16
+    n_posL = [nc * C - 777, C + 5]
+    genomes = []
+    for b in range(2):
+        L = n_posL[b] + k - 1
+        codes = rng.integers(0, 4, size=L).astype(np.uint8)
+        for _ in range(5):
+            s = int(rng.integers(0, L - 50))
+            codes[s : s + int(rng.integers(1, 40))] = 4
+        genomes.append(codes)
+
+    p2w, runs_list, npos = _packed_inputs(genomes, nc, C, k)
+    h, pos, valid, cell_max = hash_packed_rows_pallas(
+        jnp.asarray(p2w), jnp.asarray(npos), nc, C, k, seed, thr,
+        interpret=True, cells=cells, cap=cap,
+    )
+    hi, lo = np.asarray(h.hi), np.asarray(h.lo)
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    assert (np.asarray(cell_max) <= cap).all()
+    for b, codes in enumerate(genomes):
+        # reference: XLA path over the same bucket layout
+        L_ext = nc * C + k - 1
+        buf = np.full(L_ext, 4, np.uint8)
+        buf[: min(len(codes), L_ext)] = codes[:L_ext]
+        chunks = np.stack([buf[c * C : c * C + C + k - 1] for c in range(nc)])
+        h_ref, keep_ref = hash_kmer_positions(
+            jnp.asarray(chunks), k, seed, thr
+        )
+        want = set(u.to_np_u64(h_ref)[np.asarray(keep_ref)].tolist())
+        # postfilter spec: window [p, p+k) must not intersect any run
+        hv = (hi[b].astype(np.uint64) << np.uint64(32)) | lo[b].astype(
+            np.uint64
+        )
+        keep = valid[b].copy()
+        for i in np.flatnonzero(valid[b]):
+            p = pos[b, i]
+            for s, e in runs_list[b]:
+                if s < p + k and e > p:
+                    keep[i] = False
+                    break
+        assert set(hv[keep].tolist()) == want
+
+
+def test_packed_step_parity_and_retry():
+    """Sketcher packed path == XLA runs path bit-exactly, through the
+    capacity retry ladder (scaled=50 stresses cell and extract caps)."""
+    from hypergen_tpu.io.fastx import INVALID
+    from hypergen_tpu.models.sketcher import Sketcher
+    from hypergen_tpu.params import SketchParams
+
+    r2 = np.random.default_rng(11)
+    p = SketchParams(scaled=50)
+    genomes = []
+    for L in (5000, 2047, 100):
+        codes = r2.integers(0, 4, size=L).astype(np.uint8)
+        for _ in range(3):
+            s = int(r2.integers(0, max(L - 50, 1)))
+            codes[s : s + int(r2.integers(1, 40))] = INVALID
+        genomes.append(codes)
+    genomes.append(np.full(30, INVALID, np.uint8))  # all-N genome
+
+    ref = Sketcher(p, chunk_positions=2048, batch=len(genomes),
+                   use_pallas=False)
+    new = Sketcher(p, chunk_positions=2048, batch=len(genomes),
+                   use_pallas=True, pallas_interpret=True)
+    new.be_cap = 8  # force the extract-cap retry ladder
+    assert new.packed_mode
+    r_ref = ref.collect_batch(ref.submit_batch(genomes))
+    r_new = new.collect_batch(new.submit_batch(genomes))
+    for a, b in zip(r_ref, r_new):
+        assert a["n_hashes"] == b["n_hashes"]
+        assert a["norm2"] == b["norm2"]
+        np.testing.assert_array_equal(a["hv"], b["hv"])
+
+
 @pytest.mark.parametrize("cells", [256, 512, 4096])
 def test_kernel_parity_wide_cells(cells):
     """ILP-widened tiles (cells > 1024 => multiple VREGs per op) must be
