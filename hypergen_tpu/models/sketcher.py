@@ -315,10 +315,44 @@ def make_sketch_step(
             interpret=pallas_interpret,
         )
         # extract FIRST (reduces ~nc*cells*cap slots to ~nb*be_cap entries),
-        # then repair invalid-window survivors on the small extracted set
-        flat, _, be_max, flat_pos = block_extract(
-            h, valid, 512, packed_be_cap, payload=pos
+        # then repair invalid-window survivors on the small extracted set.
+        # Slot planes have wildly different densities (plane s holds the
+        # s-th survivor of each cell: occupancy ~ P(cell count > s)), so
+        # plane 0 extracts with small blocks sized for its rate and the
+        # near-empty planes 1+ share one cheap pass — extraction cost is
+        # O(slots * cap), and splitting cuts it ~5x vs one uniform cap.
+        cap = chunk_cap
+        sh = h.hi.reshape(batch, n_chunks, cap, cells)
+        sl = h.lo.reshape(batch, n_chunks, cap, cells)
+        sp = pos.reshape(batch, n_chunks, cap, cells)
+        sv = valid.reshape(batch, n_chunks, cap, cells)
+        rest_cap = max(8, packed_be_cap // 4)
+
+        def extract(hi, lo, p, v, block, slots):
+            hh = U64(hi.reshape(batch, -1), lo.reshape(batch, -1))
+            return block_extract(
+                hh, v.reshape(batch, -1), block, slots,
+                payload=p.reshape(batch, -1),
+            )
+
+        flat0, _, be0, pos0 = extract(
+            sh[:, :, 0], sl[:, :, 0], sp[:, :, 0], sv[:, :, 0],
+            128, packed_be_cap,
         )
+        if cap > 1:
+            rest_n = (cap - 1) * n_chunks * cells
+            flatr, _, ber, posr = extract(
+                sh[:, :, 1:], sl[:, :, 1:], sp[:, :, 1:], sv[:, :, 1:],
+                512 if rest_n % 512 == 0 else 128, rest_cap,
+            )
+            flat = U64(
+                jnp.concatenate([flat0.hi, flatr.hi], axis=1),
+                jnp.concatenate([flat0.lo, flatr.lo], axis=1),
+            )
+            flat_pos = jnp.concatenate([pos0, posr], axis=1)
+            be_max = jnp.maximum(be0, ber)
+        else:
+            flat, flat_pos, be_max = flat0, pos0, be0
         clean = filter_positions_by_runs(flat_pos, runs, k)
         flat = U64(
             jnp.where(clean, flat.hi, _SENT),
@@ -436,13 +470,13 @@ class Sketcher:
             min(max(4, -(-8 * lsub // max(params.scaled, 1))), lsub)
         ) if cells else 0
         # block_extract over the slot array: slot plane s=0 (first survivor
-        # of every cell) is the dense one — a 512-slot block there covers
-        # 512 cells, so its rate is 512 * P(cell has a survivor) <=
-        # 512*lsub/scaled. Size the cap for that plane with a
+        # of every cell) is the dense one — a 128-slot block there covers
+        # 128 cells, so its rate is 128 * P(cell has a survivor) <=
+        # 128*lsub/scaled. Size the cap for that plane with a
         # lambda + 6*sqrt(lambda) tail margin (retry ladder still backstops)
         if cells:
-            lam = 512 * lsub / max(params.scaled, 1)
-            self.be_cap = int(min(512, max(8, lam + 6 * lam ** 0.5 + 4)))
+            lam = 128 * lsub / max(params.scaled, 1)
+            self.be_cap = int(min(128, max(8, lam + 6 * lam ** 0.5 + 4)))
         else:
             self.be_cap = 8
         # scatter-free block extraction when survivor density is low enough

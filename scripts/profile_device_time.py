@@ -142,8 +142,8 @@ def sketch_step_packed_device_time(NC: int = NC):
     p = SketchParams()
     enc_cap = -(-(3 * (NC * C // SCALED) + 512) // 256) * 256
     lsub = C // 4096
-    lam = 512 * lsub / SCALED
-    be_cap = int(min(512, max(8, lam + 6 * lam ** 0.5 + 4)))
+    lam = 128 * lsub / SCALED
+    be_cap = int(min(128, max(8, lam + 6 * lam ** 0.5 + 4)))
     step = make_sketch_step(
         ksize=K, seed=p.seed, threshold=fracminhash_threshold(SCALED),
         hv_d=D, batch=B, n_chunks=NC, chunk_positions=C, chunk_cap=4,

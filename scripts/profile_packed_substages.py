@@ -51,21 +51,22 @@ W = packed_row_words(NC, C)
 BN = B * NC
 S = NC * CAP * CELLS
 ENC_CAP = -(-(3 * (NC * C // SCALED) + 512) // 256) * 256
-LAM = 512 * LSUB / SCALED
-BE_CAP = int(min(512, max(8, LAM + 6 * LAM ** 0.5 + 4)))
+LAM = 128 * LSUB / SCALED
+BE_CAP = int(min(128, max(8, LAM + 6 * LAM ** 0.5 + 4)))
 
 RUNS = np.full((B, 512, 2), np.int32(0x7FFFFFFF), np.int32)
 N_POS = np.full(B, NC * C, np.int32)
 
-IDX = (
-    np.arange(NC, dtype=np.int32)[:, None, None] * IW
-    + np.arange(T_W, dtype=np.int32)[None, :, None]
-    + np.arange(CELLS, dtype=np.int32)[None, None, :] * LW
-)
-
-
 def _gather(p2w):
-    cw = jnp.take(p2w, jnp.asarray(IDX), axis=1)
+    # strided-slice planes, mirroring hash_packed_rows_pallas
+    planes = []
+    for d in range(T_W):
+        sl = jax.lax.slice(
+            p2w, (0, d),
+            (B, d + (NC - 1) * IW + (CELLS - 1) * LW + 1), (1, LW),
+        )
+        planes.append(sl.reshape(B, NC, CELLS))
+    cw = jnp.stack(planes, axis=2)
     return cw.reshape(BN, T_W, SUB, 128)
 
 

@@ -80,7 +80,8 @@ def _packed_inputs(genomes, nc, C, k):
     runs_list, npos = [], np.zeros(B, np.int32)
     for b, codes in enumerate(genomes):
         g = packed_from_codes(codes)
-        p2w[b, : g.packed2.shape[0]] = g.packed2
+        nb = min(g.packed2.shape[0], W * 4)
+        p2w[b, :nb] = g.packed2[:nb]
         runs_list.append(g.runs)
         npos[b] = max(g.length - k + 1, 0)
     return p2w.view(np.uint32), runs_list, npos
@@ -136,6 +137,42 @@ def test_packed_kernel_parity():
                     keep[i] = False
                     break
         assert set(hv[keep].tolist()) == want
+
+
+@pytest.mark.parametrize("method,canonical", [("mmhash", True), ("t1ha2", False)])
+def test_packed_kernel_parity_variants(method, canonical):
+    from hypergen_tpu.ops.pallas.hash_kernel import hash_packed_rows_pallas
+
+    k, seed, thr = 21, 123, fracminhash_threshold(3)
+    C, nc, cells, cap = 2048, 1, 128, 16
+    codes = rng.integers(0, 4, size=C + k - 1 + 300).astype(np.uint8)
+    codes[500:540] = 4
+    p2w, runs_list, npos = _packed_inputs([codes], nc, C, k)
+    h, pos, valid, cell_max = hash_packed_rows_pallas(
+        jnp.asarray(p2w), jnp.asarray(npos), nc, C, k, seed, thr,
+        canonical=canonical, method=method, interpret=True,
+        cells=cells, cap=cap,
+    )
+    hi, lo = np.asarray(h.hi), np.asarray(h.lo)
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    assert int(np.asarray(cell_max)[0]) <= cap
+    buf = np.full(C + k - 1, 4, np.uint8)
+    buf[: C + k - 1] = codes[: C + k - 1]
+    h_ref, keep_ref = hash_kmer_positions(
+        jnp.asarray(buf[None, :]), k, seed, thr,
+        canonical=canonical, method=method,
+    )
+    want = set(u.to_np_u64(h_ref)[np.asarray(keep_ref)].tolist())
+    hv = (hi[0].astype(np.uint64) << np.uint64(32)) | lo[0].astype(np.uint64)
+    keep = valid[0].copy()
+    for i in np.flatnonzero(valid[0]):
+        p = pos[0, i]
+        for s, e in runs_list[0]:
+            if s < p + k and e > p:
+                keep[i] = False
+                break
+    assert set(hv[keep].tolist()) == want
+    assert len(want) > 0
 
 
 def test_packed_step_parity_and_retry():
