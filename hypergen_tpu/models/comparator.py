@@ -67,9 +67,20 @@ class Comparator:
             use_mxu = jax.default_backend() == "tpu"
         self.use_mxu = use_mxu
         self.compact_cap0 = 1 << 14  # initial survivor cap per tile
-        self._dot = jax.jit(
-            lambda r, q: dot_i16_exact(r, q, use_mxu=self.use_mxu)
-        )
+        self._dot = jax.jit(dot_i16_exact, static_argnames=("use_mxu",))
+
+    def dot_mode(self, *hv_arrays):
+        """Per-call MXU mode: upgrade to the 3-matmul Karatsuba split when
+        every HV value across the operands fits SMALL_SPLIT_MAX."""
+        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
+
+        if self.use_mxu is True and all(
+            a.size == 0
+            or np.abs(np.asarray(a).astype(np.int32)).max() <= SMALL_SPLIT_MAX
+            for a in hv_arrays
+        ):
+            return "small"
+        return self.use_mxu
 
     def preload_rows(self, hv: np.ndarray) -> List:
         """Upload row tiles once; reuse across many dot_tiles calls.
@@ -96,6 +107,7 @@ class Comparator:
         """
         M, N = r_hv.shape[0], q_hv.shape[0]
         tm, tn = self.tile_m, self.tile_n
+        mode = self.dot_mode(r_hv, q_hv)
         for bi, mi in enumerate(range(0, M, tm)):
             if r_blocks is not None:
                 r_dev = r_blocks[bi]
@@ -103,7 +115,9 @@ class Comparator:
                 r_dev = jnp.asarray(_pad_rows(r_hv[mi : mi + tm], tm))
             for nj in range(0, N, tn):
                 q_blk = _pad_rows(q_hv[nj : nj + tn], tn)
-                tile = np.asarray(self._dot(r_dev, jnp.asarray(q_blk)))
+                tile = np.asarray(
+                    self._dot(r_dev, jnp.asarray(q_blk), use_mxu=mode)
+                )
                 yield mi, nj, tile[: min(tm, M - mi), : min(tn, N - nj)]
 
     def ani_pairs(
@@ -189,6 +203,7 @@ class Comparator:
         r_blocks = ref_blocks
         if r_blocks is None and N > tn:
             r_blocks = self.preload_rows(ref_db.hvs)
+        mode = self.dot_mode(ref_db.hvs, query_db.hvs)
         for nj in range(0, N, tn):
             q_dev = jnp.asarray(_pad_rows(query_db.hvs[nj : nj + tn], tn))
             for bi, mi in enumerate(range(0, M, tm)):
@@ -200,7 +215,7 @@ class Comparator:
                     r_blocks[bi] if r_blocks is not None
                     else jnp.asarray(_pad_rows(ref_db.hvs[mi : mi + tm], tm))
                 )
-                tile = np.asarray(self._dot(r_dev, q_dev))[
+                tile = np.asarray(self._dot(r_dev, q_dev, use_mxu=mode))[
                     : min(tm, M - mi), : min(tn, N - nj)
                 ]
                 ani = ani_f32_host(
@@ -273,6 +288,7 @@ def _ani_pairs_thresholded(
     # DB row tile (H2D through the chip tunnel dominates everything else)
     if ref_blocks is None and N > tn:
         ref_blocks = comp.preload_ref(ref_db)  # avoid re-upload per q tile
+    mode = comp.dot_mode(ref_db.hvs, query_db.hvs)
     for nj in range(0, N, tn):
         q_dev = jnp.asarray(_pad_rows(query_db.hvs[nj : nj + tn], tn))
         nq_dev = jnp.asarray(_pad_rows(query_db.norms[nj : nj + tn], tn))
@@ -291,7 +307,7 @@ def _ani_pairs_thresholded(
                 cnt, idx, dot = jax.device_get(
                     dot_threshold_compact(
                         r_dev, nr_dev, q_dev, nq_dev, thr, comp.ksize, cap,
-                        use_mxu=comp.use_mxu,
+                        use_mxu=mode,
                     )
                 )
                 if int(cnt) <= cap:

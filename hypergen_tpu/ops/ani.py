@@ -38,11 +38,47 @@ def split_i16_to_i8(x: jnp.ndarray):
     return hi, lo
 
 
-def dot_i16_exact(r: jnp.ndarray, q: jnp.ndarray, use_mxu: bool = True) -> jnp.ndarray:
+# |values| up to this bound admit the 3-matmul Karatsuba split below:
+# v = 64*h + l with l = ((v+32) & 63) - 32 in [-32, 31] and
+# h = (v+32) >> 6 in [-96, 96], so h, l, AND h+l all fit int8.
+# (At 6176, h+l would need 128.) HVs stay well under this for genomes up to
+# ~9 Mbp at scaled=1500 (|hv| <= n_hashes); callers verify per DB.
+SMALL_SPLIT_MAX = 6175
+
+
+def _split_small(x: jnp.ndarray):
+    x32 = x.astype(jnp.int32)
+    h = ((x32 + 32) >> 6).astype(jnp.int8)
+    l = (((x32 + 32) & 63) - 32).astype(jnp.int8)
+    return h, l
+
+
+def dot_i16_exact(r: jnp.ndarray, q: jnp.ndarray, use_mxu=True) -> jnp.ndarray:
     """Int32 [M, N] dot matrix of int16 HVs r [M, D], q [N, D].
 
     Bit-exact (mod 2^32) vs. the reference's wrapping i32 accumulation.
+    use_mxu: False = direct int32 dot_general (CPU); True = 4-way int8
+    split (any int16 values); "small" = 3-matmul Karatsuba int8 split —
+    25% fewer MXU passes, valid ONLY when every |value| <= SMALL_SPLIT_MAX
+    (caller-checked):  dot = 4096*HH + 64*(MM - HH - LL) + LL with
+    M = H + L, all three operand planes int8. Wrapping int32 combination
+    keeps the mod-2^32 congruence.
     """
+    if use_mxu == "small":
+        rh, rl = _split_small(r)
+        qh, ql = _split_small(q)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        hh = d(rh, qh)
+        ll = d(rl, ql)
+        mm = d(rh + rl, qh + ql)
+        return (hh << 12) + ((mm - hh - ll) << 6) + ll
     if use_mxu:
         D = r.shape[-1]
         rh, rl = split_i16_to_i8(r)

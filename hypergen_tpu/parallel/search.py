@@ -102,8 +102,7 @@ def sharded_topk_search(
     zero HVs (ANI NaN->0) and sliced out of results by global index masking.
     Returns (ani [N, k_top] float32, idx [N, k_top] int32 global DB rows).
     """
-    if use_mxu is None:
-        use_mxu = jax.default_backend() == "tpu"
+    use_mxu = _resolve_mxu(use_mxu, db_hv, q_hv)
     ndb = mesh.shape[AXIS_DB]
     nq = mesh.shape[AXIS_Q]
     M, N = db_hv.shape[0], q_hv.shape[0]
@@ -192,6 +191,23 @@ def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
+def _resolve_mxu(use_mxu, *hv_arrays):
+    """None -> backend default; True -> upgrade to the 3-matmul "small"
+    split when every HV value fits (single-host only: the mode is a static
+    compile flag, so multihost callers must agree without communicating)."""
+    from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
+
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu is True and all(
+        a.size == 0
+        or np.abs(np.asarray(a).astype(np.int32)).max() <= SMALL_SPLIT_MAX
+        for a in hv_arrays
+    ):
+        return "small"
+    return use_mxu
+
+
 @functools.partial(jax.jit, static_argnames=("ksize", "k_top", "use_mxu"))
 def _topk_tile_merge(db_tile, dbn_tile, q, qn, run_v, run_i, offset,
                      ksize: int, k_top: int, use_mxu: bool):
@@ -221,8 +237,7 @@ def local_topk_search_tiled(
     the sharded pod search (a 500k-genome DB at D=4096 is 4 GB of HVs but
     would need a 500k x n_q float matrix in one shot).
     """
-    if use_mxu is None:
-        use_mxu = jax.default_backend() == "tpu"
+    use_mxu = _resolve_mxu(use_mxu, db_hv, q_hv)
     import jax.numpy as _jnp
 
     tile_m = max(tile_m, k_top)  # top_k needs >= k_top candidates per tile

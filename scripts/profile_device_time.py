@@ -248,7 +248,10 @@ def encode_device_time():
     return {"encode_ms": dt * 1e3, "genomes_per_s": B / dt}
 
 
-def search_matmul_device_time():
+def search_matmul_device_time(mode=True):
+    """mode True = 4-pass int8 split (any int16); "small" = 3-pass
+    Karatsuba split (|v| <= SMALL_SPLIT_MAX, the production default for
+    bacterial-scale HVs)."""
     from hypergen_tpu.ops.ani import dot_i16_exact
 
     M, N = 8192, 2048
@@ -265,7 +268,7 @@ def search_matmul_device_time():
                 q = (
                     _rand_u32(seed, (N, D // 2)).view(jnp.int16).reshape(N, D)
                 ) >> 9
-                dot = dot_i16_exact(db, q, use_mxu=True)
+                dot = dot_i16_exact(db, q, use_mxu=mode)
                 return carry + jnp.sum(dot), None
 
             tot, _ = jax.lax.scan(body, jnp.int32(0), seeds)
@@ -273,10 +276,11 @@ def search_matmul_device_time():
 
         return chained
 
-    dt, t1, t2 = _per_iter(make_fn, "dot")
-    # exact i16 dot = 4 int8xint8 matmul passes of 2*M*N*D ops each
-    ops = 8 * M * N * D
-    print(f"search dot: {dt*1e3:.2f} ms/iter [{M}x{D}]@[{D}x{N}] "
+    dt, t1, t2 = _per_iter(make_fn, "dot" if mode is True else "dts")
+    # exact i16 dot = 4 (or 3 for "small") int8 matmuls of 2*M*N*D ops each
+    passes = 3 if mode == "small" else 4
+    ops = 2 * passes * M * N * D
+    print(f"search dot[{mode}]: {dt*1e3:.2f} ms/iter [{M}x{D}]@[{D}x{N}] "
           f"(t{R1}={t1:.3f}s t{R2}={t2:.3f}s) -> "
           f"{ops/dt/1e12:.1f} int8-TOP/s, {M*N/dt/1e6:.0f} M pairs/s")
     return {"dot_ms": dt * 1e3, "int8_tops": ops / dt / 1e12,

@@ -281,6 +281,40 @@ class TestAni:
             got = int(dot_i16_exact(jnp.asarray(r), jnp.asarray(q), use_mxu)[0, 0])
             assert got == exp
 
+    def test_dot_small_split_exact(self):
+        """3-matmul Karatsuba split == direct int32 dot over its full
+        admissible range, including both boundary values."""
+        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
+
+        V = SMALL_SPLIT_MAX
+        r = rng.integers(-V, V + 1, size=(5, 512)).astype(np.int16)
+        q = rng.integers(-V, V + 1, size=(7, 512)).astype(np.int16)
+        r[0, :4] = [V, -V, V, -V]
+        q[0, :4] = [V, -V, -V, V]
+        exp = r.astype(np.int64) @ q.astype(np.int64).T
+        exp = ((exp + (1 << 31)) % (1 << 32) - (1 << 31)).astype(np.int32)
+        got = np.asarray(
+            dot_i16_exact(jnp.asarray(r), jnp.asarray(q), use_mxu="small")
+        )
+        np.testing.assert_array_equal(got, exp)
+
+    def test_dot_mode_gate(self):
+        """Comparator picks the small split only when every value fits."""
+        from hypergen_tpu.models.comparator import Comparator
+        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
+
+        comp = Comparator(21, use_mxu=True)
+        ok = np.full((2, 256), SMALL_SPLIT_MAX, dtype=np.int16)
+        too_big = ok.copy()
+        too_big[1, 3] = SMALL_SPLIT_MAX + 1
+        neg_edge = ok.copy()
+        neg_edge[0, 0] = -32768  # np.abs wraps in int16; gate must not
+        assert comp.dot_mode(ok, ok) == "small"
+        assert comp.dot_mode(ok, too_big) is True
+        assert comp.dot_mode(neg_edge, ok) is True
+        comp_cpu = Comparator(21, use_mxu=False)
+        assert comp_cpu.dot_mode(ok, ok) is False
+
     def test_ani_matrix_vs_oracle(self):
         rng2 = np.random.default_rng(7)
         r = rng2.integers(-50, 50, size=(4, 1024)).astype(np.int16)
