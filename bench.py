@@ -185,8 +185,11 @@ def bench_ani():
         qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
         return q, qn
 
-    # --- search mode: DB resident, top-k on device, tiny D2H ---------------
-    db_dev = jax.device_put(db)
+    # --- search mode: DB resident (pre-split int8 planes: the int16->int8
+    # split is per-DB work, not per-query work), top-k on device, tiny D2H
+    from hypergen_tpu.ops.ani import presplit_rows
+
+    db_dev = jax.jit(presplit_rows)(jax.device_put(db))
     dbn_dev = jax.device_put(dbn)
     q0, qn0 = fresh_q()
     jax.device_get(

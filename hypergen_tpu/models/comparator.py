@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hypergen_tpu.io.sketch_db import ShardedDB
-from hypergen_tpu.ops.ani import dot_i16_exact, dot_threshold_compact
+from hypergen_tpu.ops.ani import (
+    dot_i16_any, dot_threshold_compact, presplit_rows,
+)
 
 log = logging.getLogger("hypergen")
 
@@ -67,7 +69,8 @@ class Comparator:
             use_mxu = jax.default_backend() == "tpu"
         self.use_mxu = use_mxu
         self.compact_cap0 = 1 << 14  # initial survivor cap per tile
-        self._dot = jax.jit(dot_i16_exact, static_argnames=("use_mxu",))
+        self._dot = dot_i16_any
+        self._presplit = jax.jit(presplit_rows)
 
     def dot_mode(self, *hv_arrays):
         """Per-call MXU mode: upgrade to the 3-matmul Karatsuba split when
@@ -86,13 +89,17 @@ class Comparator:
         """Upload row tiles once; reuse across many dot_tiles calls.
 
         Keeping the reference DB resident on device is the search-engine
-        pattern: per query batch only the queries cross H2D.
+        pattern: per query batch only the queries cross H2D. On the MXU
+        path tiles are stored pre-split into int8 planes (presplit_rows):
+        the elementwise int16->int8 split dominates the dot's non-MXU time
+        and must not repeat per query tile. Same device bytes either way.
         """
         tm = self.tile_m
-        return [
-            jnp.asarray(_pad_rows(hv[mi : mi + tm], tm))
-            for mi in range(0, hv.shape[0], tm)
-        ]
+        out = []
+        for mi in range(0, hv.shape[0], tm):
+            t = jnp.asarray(_pad_rows(hv[mi : mi + tm], tm))
+            out.append(self._presplit(t) if self.use_mxu else t)
+        return out
 
     def dot_tiles(
         self,
@@ -241,15 +248,18 @@ class Comparator:
         return ii[order], jj[order], aa[order], n_total
 
     def preload_ref(self, db: ShardedDB) -> List:
-        """Device-resident (hv, norm) row tiles for ani_pairs_thresholded."""
+        """Device-resident (hv, norm) row tiles for ani_pairs_thresholded.
+
+        MXU path: hv tiles stored pre-split (see preload_rows)."""
         tm = self.tile_m
-        return [
-            (
-                jnp.asarray(_pad_rows(db.hvs[mi : mi + tm], tm)),
+        out = []
+        for mi in range(0, db.hvs.shape[0], tm):
+            t = jnp.asarray(_pad_rows(db.hvs[mi : mi + tm], tm))
+            out.append((
+                self._presplit(t) if self.use_mxu else t,
                 jnp.asarray(_pad_rows(db.norms[mi : mi + tm], tm)),
-            )
-            for mi in range(0, db.hvs.shape[0], tm)
-        ]
+            ))
+        return out
 
 
 def _tile_below_diagonal(gi_min: int, gj_min: int, tn: int) -> bool:

@@ -298,6 +298,19 @@ class TestAni:
         )
         np.testing.assert_array_equal(got, exp)
 
+    def test_dot_presplit_exact(self):
+        """Pre-split resident operand path == direct dot, full i16 range."""
+        from hypergen_tpu.ops.ani import dot_i16_any, presplit_rows
+
+        r = rng.integers(-32768, 32768, size=(5, 512)).astype(np.int16)
+        q = rng.integers(-32768, 32768, size=(7, 512)).astype(np.int16)
+        r[0, :2] = [32767, -32768]
+        exp = r.astype(np.int64) @ q.astype(np.int64).T
+        exp = ((exp + (1 << 31)) % (1 << 32) - (1 << 31)).astype(np.int32)
+        planes = presplit_rows(jnp.asarray(r))
+        got = np.asarray(dot_i16_any(planes, jnp.asarray(q)))
+        np.testing.assert_array_equal(got, exp)
+
     def test_dot_mode_gate(self):
         """Comparator picks the small split only when every value fits."""
         from hypergen_tpu.models.comparator import Comparator
@@ -374,6 +387,25 @@ class TestThresholdedDist:
                 ref.names, q.names, ri_t, qi_t, ani_t, th
             )
             assert tsv_d == tsv_t
+
+    def test_mxu_presplit_preload_matches_cpu_path(self):
+        """MXU-mode comparator (preloaded tiles stored as presplit int8
+        planes) produces identical pairs to the direct int32 CPU path —
+        covers the tuple-block branches of thresholded AND streamed."""
+        from hypergen_tpu.models.comparator import Comparator
+
+        rng = np.random.default_rng(35)
+        ref = self._db(rng, 37)
+        cm = Comparator(ksize=21, tile_m=16, tile_n=16, use_mxu=True)
+        cc = Comparator(ksize=21, tile_m=16, tile_n=16, use_mxu=False)
+        th = 60.0
+        for fn in ("ani_pairs_thresholded", "ani_pairs_streamed"):
+            rm, qm, am, nm = getattr(cm, fn)(ref, ref, True, th)
+            rc, qc, ac, nc = getattr(cc, fn)(ref, ref, True, th)
+            assert nm == nc
+            np.testing.assert_array_equal(rm, rc)
+            np.testing.assert_array_equal(qm, qc)
+            np.testing.assert_array_equal(am, ac)
 
     @pytest.mark.parametrize("symmetric", [False, True])
     def test_streamed_matches_dense_path(self, symmetric):
