@@ -256,6 +256,7 @@ def make_sketch_step(
     validity: str = "mask",
     pallas_interpret: bool = False,
     packed_be_cap: int = 8,
+    probe: Optional[str] = None,
 ):
     """Batched sketch step: B packed genomes -> B sketch HVs in one dispatch.
 
@@ -271,6 +272,10 @@ def make_sketch_step(
     Pallas kernel: unpack, hash, threshold, and per-cell survivor
     compaction all in VMEM, with invalid windows repaired by the sparse
     run postfilter — HBM never sees a position-dense intermediate.
+
+    probe (packed path only, profiling support): stop the step early and
+    return a scalar-reducible stand-in — "hash" (after the kernel),
+    "extract" (after extraction + postfilter), "dedup" (after the sort).
     """
     C = chunk_positions
     k = ksize
@@ -280,12 +285,26 @@ def make_sketch_step(
     def _finish(flat: U64, max_count, extra_count):
         """Shared back half: dedup, encode, fused output assembly."""
         sorted_h, unique = _dedup_sorted_batched(flat)
-        enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (batch, enc_cap), 1)
-            < n_hashes[:, None]
-        )
-        hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
+        if probe == "dedup":
+            return (
+                jnp.sum(sorted_h.lo.astype(jnp.int32))
+                + jnp.sum(unique.astype(jnp.int32))
+            )
+        if validity == "packed":
+            # encode straight over the sorted array with the unique mask:
+            # bundling is commutative and padding is masked, so compaction
+            # buys nothing here — and compact_masked's per-element scatter
+            # costs more device time than the ~2.5x longer encode sweep.
+            # enc_cap overflow is structurally impossible on this path.
+            n_hashes = jnp.sum(unique.astype(jnp.int32), axis=-1)
+            hv32 = encode_hv(sorted_h, unique, hv_d, block=encode_block)
+        else:
+            enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (batch, enc_cap), 1)
+                < n_hashes[:, None]
+            )
+            hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
         hv16 = hv_to_i16(hv32)
         norm2 = hv_norm2_i32(hv16)
         # single fused output [B, D+8] i16: every output buffer is a
@@ -321,6 +340,8 @@ def make_sketch_step(
         # plane 0 extracts with small blocks sized for its rate and the
         # near-empty planes 1+ share one cheap pass — extraction cost is
         # O(slots * cap), and splitting cuts it ~5x vs one uniform cap.
+        if probe == "hash":
+            return jnp.sum(h.lo.astype(jnp.int32)) + jnp.sum(cell_max)
         cap = chunk_cap
         sh = h.hi.reshape(batch, n_chunks, cap, cells)
         sl = h.lo.reshape(batch, n_chunks, cap, cells)
@@ -358,6 +379,8 @@ def make_sketch_step(
             jnp.where(clean, flat.hi, _SENT),
             jnp.where(clean, flat.lo, _SENT),
         )
+        if probe == "extract":
+            return jnp.sum(flat.lo.astype(jnp.int32)) + jnp.sum(be_max)
         return _finish(flat, cell_max, be_max)
 
     def step(packed2: jnp.ndarray, validity_in: jnp.ndarray):
@@ -667,9 +690,10 @@ class Sketcher:
         )
         for attempt in range(7):
             max_count, be_max, n_hashes = counts()
+            # packed encodes the uncompacted sorted array: no enc_cap bound
             ok = (
                 max_count <= chunk_cap
-                and int(n_hashes.max(initial=0)) <= enc_cap
+                and (mode == "packed" or int(n_hashes.max(initial=0)) <= enc_cap)
                 and (mode != "packed" or be_max <= be_cap)
             )
             if ok:
@@ -698,7 +722,7 @@ class Sketcher:
                     be_max, be_cap,
                 )
                 be_cap = min(be_cap * 2, 512)
-            if int(n_hashes.max(initial=0)) > enc_cap:
+            if mode != "packed" and int(n_hashes.max(initial=0)) > enc_cap:
                 log.warning(
                     "encode cap overflow (%d > %d); retrying",
                     int(n_hashes.max(initial=0)), enc_cap,

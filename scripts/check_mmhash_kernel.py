@@ -26,3 +26,9 @@ for method in ("mmhash",):
         assert (hp[keep_p] == hx[keep_x]).all()
         print(f"{method} canonical={canonical}: parity OK "
               f"({int(np.asarray(keep_x).sum())} survivors)", flush=True)
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+

@@ -4,6 +4,11 @@ Compares the production packed-mode Sketcher against the unfused runs-path
 Sketcher (itself XLA/oracle-pinned) on genomes with interior N runs and
 non-bucket lengths — the full step must be bit-identical.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 

@@ -37,3 +37,9 @@ for cells in (1024, 4096, 8192):
     mbps = 32 * C / dt / 1e6
     print(f"cells={cells:5d}: parity OK, {dt*1e3:7.1f} ms/32chunks "
           f"({mbps:8.0f} M pos/s)", flush=True)
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+

@@ -204,6 +204,23 @@ class TestSeqPar:
             np.testing.assert_array_equal(a.hv, b.hv)
             assert a.hv_norm_2 == b.hv_norm_2
 
+    def test_pallas_kernel_per_shard(self):
+        """seqpar with the fused rolling kernel per shard (interpret mode)
+        == the XLA-path seqpar, bit for bit."""
+        from hypergen_tpu.parallel.seqpar import sketch_codes_seqpar
+
+        codes = self._codes(9_000, seed=5)
+        p = self._params()
+        ref = sketch_codes_seqpar(
+            codes, p, chunk_positions=512, use_pallas=False
+        )
+        got = sketch_codes_seqpar(
+            codes, p, chunk_positions=512, use_pallas=True,
+            pallas_interpret=True,
+        )
+        np.testing.assert_array_equal(got["hv"], ref["hv"])
+        assert got["n_hashes"] == ref["n_hashes"]
+
     def test_capacity_retry(self):
         """scaled=1 keeps every k-mer: tiny initial caps must grow, not drop."""
         from hypergen_tpu.models.sketcher import Sketcher
