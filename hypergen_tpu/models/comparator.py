@@ -71,16 +71,30 @@ class Comparator:
         self.compact_cap0 = 1 << 14  # initial survivor cap per tile
         self._dot = dot_i16_any
         self._presplit = jax.jit(presplit_rows)
+        self._bound_cache: dict = {}
 
     def dot_mode(self, *hv_arrays):
         """Per-call MXU mode: upgrade to the 3-matmul Karatsuba split when
-        every HV value across the operands fits SMALL_SPLIT_MAX."""
+        every HV value across the operands fits SMALL_SPLIT_MAX.
+
+        The bound uses plain min/max reductions (NOT np.abs(astype(int32)),
+        whose two ~800 MB temporaries measured ~58 s on a GTDB-scale DB)
+        and is memoized per array object — DBs are reused across calls.
+        """
         from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
 
+        def bound(a):
+            key = id(a)
+            hit = self._bound_cache.get(key)
+            if hit is not None and hit[0] is a:
+                return hit[1]
+            # python-int conversion sidesteps int16 abs/negation overflow
+            b = max(int(a.max()), -int(a.min())) if a.size else 0
+            self._bound_cache[key] = (a, b)  # keep a ref so id stays valid
+            return b
+
         if self.use_mxu is True and all(
-            a.size == 0
-            or np.abs(np.asarray(a).astype(np.int32)).max() <= SMALL_SPLIT_MAX
-            for a in hv_arrays
+            bound(np.asarray(a)) <= SMALL_SPLIT_MAX for a in hv_arrays
         ):
             return "small"
         return self.use_mxu

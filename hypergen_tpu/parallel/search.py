@@ -199,10 +199,15 @@ def _resolve_mxu(use_mxu, *hv_arrays):
 
     if use_mxu is None:
         use_mxu = jax.default_backend() == "tpu"
+
+    def bound(a):
+        # min/max reductions, no temporaries (abs(astype) costs seconds at
+        # GTDB scale); python ints sidestep int16 negation overflow
+        a = np.asarray(a)
+        return max(int(a.max()), -int(a.min())) if a.size else 0
+
     if use_mxu is True and all(
-        a.size == 0
-        or np.abs(np.asarray(a).astype(np.int32)).max() <= SMALL_SPLIT_MAX
-        for a in hv_arrays
+        bound(a) <= SMALL_SPLIT_MAX for a in hv_arrays
     ):
         return "small"
     return use_mxu
