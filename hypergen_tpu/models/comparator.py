@@ -77,19 +77,17 @@ class Comparator:
         """Per-call MXU mode: upgrade to the 3-matmul Karatsuba split when
         every HV value across the operands fits SMALL_SPLIT_MAX.
 
-        The bound uses plain min/max reductions (NOT np.abs(astype(int32)),
-        whose two ~800 MB temporaries measured ~58 s on a GTDB-scale DB)
-        and is memoized per array object — DBs are reused across calls.
+        The bound scan (ops.ani.abs_bound) is memoized per array object —
+        DBs are reused across calls.
         """
-        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
+        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX, abs_bound
 
         def bound(a):
             key = id(a)
             hit = self._bound_cache.get(key)
             if hit is not None and hit[0] is a:
                 return hit[1]
-            # python-int conversion sidesteps int16 abs/negation overflow
-            b = max(int(a.max()), -int(a.min())) if a.size else 0
+            b = abs_bound(a)
             self._bound_cache[key] = (a, b)  # keep a ref so id stays valid
             return b
 

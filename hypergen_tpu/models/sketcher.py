@@ -216,6 +216,19 @@ def packed_cells(chunk_positions: int) -> int:
     return 0
 
 
+def packed_be_cap_default(chunk_positions: int, scaled: int) -> int:
+    """Initial plane-0 block_extract slot cap for the packed path.
+
+    Slot plane 0 (first survivor of each cell) is the dense one: a
+    128-slot block there covers 128 cells, rate <= 128*lsub/scaled. Sized
+    with a lambda + 6*sqrt(lambda) tail margin (retry ladder backstops)."""
+    cells = packed_cells(chunk_positions)
+    if not cells:
+        return 8
+    lam = 128 * (chunk_positions // cells) / max(scaled, 1)
+    return int(min(128, max(8, lam + 6 * lam ** 0.5 + 4)))
+
+
 def filter_positions_by_runs(
     pos: jnp.ndarray, runs: jnp.ndarray, ksize: int
 ) -> jnp.ndarray:
@@ -492,16 +505,7 @@ class Sketcher:
         self.cell_cap = int(
             min(max(4, -(-8 * lsub // max(params.scaled, 1))), lsub)
         ) if cells else 0
-        # block_extract over the slot array: slot plane s=0 (first survivor
-        # of every cell) is the dense one — a 128-slot block there covers
-        # 128 cells, so its rate is 128 * P(cell has a survivor) <=
-        # 128*lsub/scaled. Size the cap for that plane with a
-        # lambda + 6*sqrt(lambda) tail margin (retry ladder still backstops)
-        if cells:
-            lam = 128 * lsub / max(params.scaled, 1)
-            self.be_cap = int(min(128, max(8, lam + 6 * lam ** 0.5 + 4)))
-        else:
-            self.be_cap = 8
+        self.be_cap = packed_be_cap_default(self.C, params.scaled)
         # scatter-free block extraction when survivor density is low enough
         # for a few slots per 512-position block (production scaled)
         if params.scaled >= 400 and self.C % 512 == 0:

@@ -355,8 +355,7 @@ def hash_packed_rows_pallas(
             (0, d),
             (B, d + (n_chunks - 1) * iw + (cells - 1) * lw + 1),
             (1, lw),
-        )  # [B, ((nc-1)*iw + (cells-1)*lw)/lw + 1] — cells per chunk stride
-        sl = sl.reshape(B, -1)[:, : n_chunks * (iw // lw)]
+        )  # exactly nc*cells words: starts d + m*lw for m in [0, nc*cells)
         planes.append(sl.reshape(B, n_chunks, cells))
     cw = jnp.stack(planes, axis=2)  # [B, nc, T_w, cells]
     cw = cw.reshape(B * n_chunks, T_w, sub, 128)

@@ -195,19 +195,12 @@ def _resolve_mxu(use_mxu, *hv_arrays):
     """None -> backend default; True -> upgrade to the 3-matmul "small"
     split when every HV value fits (single-host only: the mode is a static
     compile flag, so multihost callers must agree without communicating)."""
-    from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX
+    from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX, abs_bound
 
     if use_mxu is None:
         use_mxu = jax.default_backend() == "tpu"
-
-    def bound(a):
-        # min/max reductions, no temporaries (abs(astype) costs seconds at
-        # GTDB scale); python ints sidestep int16 negation overflow
-        a = np.asarray(a)
-        return max(int(a.max()), -int(a.min())) if a.size else 0
-
     if use_mxu is True and all(
-        bound(a) <= SMALL_SPLIT_MAX for a in hv_arrays
+        abs_bound(a) <= SMALL_SPLIT_MAX for a in hv_arrays
     ):
         return "small"
     return use_mxu

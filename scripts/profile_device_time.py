@@ -135,15 +135,13 @@ def sketch_step_packed_device_time(NC: int = NC):
     """Device time of the fused packed step (kernel does unpack+hash+compact;
     validity repaired by the sparse run postfilter)."""
     from hypergen_tpu.models.sketcher import (
-        make_sketch_step, packed_row_words,
+        make_sketch_step, packed_be_cap_default, packed_row_words,
     )
     from hypergen_tpu.params import SketchParams, fracminhash_threshold
 
     p = SketchParams()
     enc_cap = -(-(3 * (NC * C // SCALED) + 512) // 256) * 256
-    lsub = C // 4096
-    lam = 128 * lsub / SCALED
-    be_cap = int(min(128, max(8, lam + 6 * lam ** 0.5 + 4)))
+    be_cap = packed_be_cap_default(C, SCALED)
     step = make_sketch_step(
         ksize=K, seed=p.seed, threshold=fracminhash_threshold(SCALED),
         hv_d=D, batch=B, n_chunks=NC, chunk_positions=C, chunk_cap=4,

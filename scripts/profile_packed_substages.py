@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from profile_device_time import _per_iter, _rand_u32
-from hypergen_tpu.models.sketcher import make_sketch_step, packed_row_words
+from hypergen_tpu.models.sketcher import (
+    make_sketch_step, packed_be_cap_default, packed_row_words,
+)
 from hypergen_tpu.params import fracminhash_threshold
 from hypergen_tpu.utils.jaxcache import enable_compilation_cache
 
@@ -26,9 +28,7 @@ B, NC, C = 8, 32, 1 << 17
 K, SCALED, D = 21, 1500, 4096
 W = packed_row_words(NC, C)
 ENC_CAP = -(-(3 * (NC * C // SCALED) + 512) // 256) * 256
-LSUB = C // 4096
-LAM = 128 * LSUB / SCALED
-BE_CAP = int(min(128, max(8, LAM + 6 * LAM ** 0.5 + 4)))
+BE_CAP = packed_be_cap_default(C, SCALED)
 
 RUNS = np.full((B, 512, 2), np.int32(0x7FFFFFFF), np.int32)
 N_POS = np.full(B, NC * C, np.int32)
