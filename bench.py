@@ -283,6 +283,13 @@ def main():
             "device_step_genomes4m_per_sec": round(
                 dev["device_step_genomes4m_per_sec"], 1
             ),
+            # per-chip rate vs the same reference estimate, tunnel excluded
+            # (the headline `value` includes the ~10-30 MB/s relay, which a
+            # real deployment does not have)
+            "device_vs_baseline": round(
+                dev["device_step_genomes4m_per_sec"] / REF_EST_GENOMES_PER_SEC,
+                2,
+            ),
             "device_step_mbp_per_sec": round(dev["device_step_mbp_per_sec"], 0),
             "device_search_int8_tops": round(
                 dev["device_search_int8_tops"], 1

@@ -384,7 +384,13 @@ def make_sketch_step(
                 jnp.concatenate([flat0.lo, flatr.lo], axis=1),
             )
             flat_pos = jnp.concatenate([pos0, posr], axis=1)
-            be_max = jnp.maximum(be0, ber)
+            # the two extractions have different caps; normalize the rest
+            # count into be_cap units so ONE check covers both exactly:
+            # ber <= rest_cap  <=>  ber*be_cap//rest_cap <= be_cap
+            # (be_cap >= rest_cap always, so overflow strictly exceeds it)
+            be_max = jnp.maximum(
+                be0, ber * packed_be_cap // rest_cap
+            )
         else:
             flat, flat_pos, be_max = flat0, pos0, be0
         clean = filter_positions_by_runs(flat_pos, runs, k)

@@ -26,3 +26,21 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running tests"
     )
+    config.addinivalue_line(
+        "markers",
+        "needs_devices(n): skip when the active backend has fewer than n "
+        "devices (e.g. the full suite on a single real TPU chip)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import jax
+    import pytest
+
+    have = jax.device_count()
+    for item in items:
+        m = item.get_closest_marker("needs_devices")
+        if m and have < m.args[0]:
+            item.add_marker(pytest.mark.skip(
+                reason=f"needs {m.args[0]} devices, backend has {have}"
+            ))

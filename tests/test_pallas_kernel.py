@@ -207,6 +207,30 @@ def test_packed_step_parity_and_retry():
         np.testing.assert_array_equal(a["hv"], b["hv"])
 
 
+def test_packed_rest_plane_overflow_detected():
+    """Regression: rest-plane extraction uses a smaller cap than plane 0;
+    its overflow must trip the SHARED be_max check (scaled into be_cap
+    units), not silently drop hashes. scaled=30 at C=4096 makes the rest
+    planes dense enough to overflow the initial rest cap (caught on real
+    TPU as a 14-hash loss in test_chunk_boundary_invariance)."""
+    from hypergen_tpu.io.fastx import seq_to_codes
+    from hypergen_tpu.models.sketcher import Sketcher
+    from hypergen_tpu.params import SketchParams
+
+    r = np.random.default_rng(5)
+    seq = bytes(r.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=3000))
+    codes = seq_to_codes(seq)
+    p = SketchParams(scaled=30, hv_d=1024)
+    ref = Sketcher(p, chunk_positions=128, use_pallas=False).sketch_codes(
+        codes
+    )
+    got = Sketcher(
+        p, chunk_positions=4096, use_pallas=True, pallas_interpret=True
+    ).sketch_codes(codes)
+    assert got["n_hashes"] == ref["n_hashes"]
+    np.testing.assert_array_equal(got["hv"], ref["hv"])
+
+
 @pytest.mark.parametrize("cells", [256, 512, 4096])
 def test_kernel_parity_wide_cells(cells):
     """ILP-widened tiles (cells > 1024 => multiple VREGs per op) must be

@@ -28,6 +28,7 @@ def _reference_topk(db_hv, db_norm, q_hv, q_norm, ksize, k):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+@pytest.mark.needs_devices(8)
 def test_sharded_search_matches_single_device(mesh_shape):
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(*mesh_shape)
@@ -44,6 +45,7 @@ def test_sharded_search_matches_single_device(mesh_shape):
         np.testing.assert_allclose(np.sort(got_set), np.sort(exp_vals[n]), atol=2e-3)
 
 
+@pytest.mark.needs_devices(8)
 def test_sharded_search_self_hits():
     mesh = make_mesh(4, 2)
     db_hv, db_norm = _mk_db(16)
@@ -54,6 +56,7 @@ def test_sharded_search_self_hits():
     np.testing.assert_array_equal(idx[:, 0], np.arange(16))
 
 
+@pytest.mark.needs_devices(8)
 def test_sharded_search_k_larger_than_shard():
     """k_top bigger than the per-shard row count must still work (padding)."""
     mesh = make_mesh(8, 1)
@@ -67,6 +70,7 @@ def test_sharded_search_k_larger_than_shard():
     assert (idx < 10).all()
 
 
+@pytest.mark.needs_devices(8)
 def test_data_parallel_sketch_encode():
     """Data-parallel HV encode across the q axis via sharding annotations."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -90,6 +94,7 @@ def test_data_parallel_sketch_encode():
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.needs_devices(8)
 def test_sharded_search_1k_db():
     """BASELINE config 4 shape: 1k-genome DB sharded over the mesh,
     streamed query batch, top-hit merge."""
@@ -147,6 +152,7 @@ class TestSeqPar:
             codes[20470:20490] = 4
         return codes
 
+    @pytest.mark.needs_devices(8)
     def test_matches_single_device(self):
         """A genome sharded over 8 devices == the single-device Sketcher,
         bit for bit (hv, norm2, hash count)."""
@@ -234,6 +240,7 @@ class TestSeqPar:
         assert got["n_hashes"] == ref["n_hashes"] > 5000
 
 
+@pytest.mark.needs_devices(8)
 def test_sharded_topk_search_tiled():
     """Multi-device streaming top-k over DB tiles == one-shot reference."""
     from hypergen_tpu.parallel.search import sharded_topk_search_tiled
@@ -254,6 +261,7 @@ def test_sharded_topk_search_tiled():
 
 
 @pytest.mark.slow
+@pytest.mark.needs_devices(8)
 def test_gtdb_scale_sharded_search():
     """BASELINE config 5 stand-in: ~50k-genome DB sharded over the mesh,
     top-k >= 85% ANI hits merged with all_gather. Spot-checks planted
