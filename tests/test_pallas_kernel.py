@@ -231,6 +231,39 @@ def test_packed_rest_plane_overflow_detected():
     np.testing.assert_array_equal(got["hv"], ref["hv"])
 
 
+@pytest.mark.parametrize("scaled,C,L", [
+    (5, 2048, 1200),      # extreme density: every capacity knob overflows
+    (30, 4096, 9000),     # the rest-plane regression regime, multi-chunk
+    (300, 2048, 2047),    # genome one short of a bucket boundary
+    (1500, 4096, 500),    # production sparsity, tiny genome
+])
+def test_packed_capacity_stress_parity(scaled, C, L):
+    """Capacity-stress sweep: densities and lengths chosen to overflow the
+    cell-slot, plane-0, rest-plane, and extract caps in different
+    combinations — every config must retry to bit-exactness, never drop.
+    (The rest-plane overflow bug survived the default-parameter tests;
+    this sweep exists so capacity bugs can't hide behind defaults.)"""
+    from hypergen_tpu.io.fastx import INVALID
+    from hypergen_tpu.models.sketcher import Sketcher
+    from hypergen_tpu.params import SketchParams
+
+    r = np.random.default_rng(scaled * 7 + C)
+    codes = r.integers(0, 4, size=L).astype(np.uint8)
+    for _ in range(4):
+        s = int(r.integers(0, max(L - 60, 1)))
+        codes[s : s + int(r.integers(1, 50))] = INVALID
+    p = SketchParams(scaled=scaled, hv_d=512)
+    ref = Sketcher(p, chunk_positions=128, use_pallas=False).sketch_codes(
+        codes
+    )
+    got = Sketcher(
+        p, chunk_positions=C, use_pallas=True, pallas_interpret=True
+    ).sketch_codes(codes)
+    assert got["n_hashes"] == ref["n_hashes"]
+    assert got["norm2"] == ref["norm2"]
+    np.testing.assert_array_equal(got["hv"], ref["hv"])
+
+
 @pytest.mark.parametrize("cells", [256, 512, 4096])
 def test_kernel_parity_wide_cells(cells):
     """ILP-widened tiles (cells > 1024 => multiple VREGs per op) must be
