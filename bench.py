@@ -198,10 +198,10 @@ def bench_ani():
     queries = [fresh_q() for _ in range(ANI_REPEATS)]
     t0 = time.monotonic()
     for q, qn in queries:
-        vals, idx = ani_topk(
+        vals, idx, dots = ani_topk(
             db_dev, dbn_dev, jnp.asarray(q), jnp.asarray(qn), 21, ANI_TOPK
         )
-        np.asarray(vals), np.asarray(idx)
+        np.asarray(vals), np.asarray(idx), np.asarray(dots)
     dt_search = time.monotonic() - t0
     search_pairs = ANI_DB * ANI_QUERIES * ANI_REPEATS / dt_search
 

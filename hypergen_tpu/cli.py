@@ -172,7 +172,7 @@ def run_sketch(args) -> None:
         # compare resolved paths: keying on the exact string would silently
         # re-sketch (and duplicate DB rows) when the resume run spells the
         # input path differently (relative vs absolute, trailing slash)
-        done = _resolved_set(manifest["names"])
+        done = _resolved_set(manifest)
         skipped = sum(1 for f in files if str(Path(f).resolve()) in done)
         if skipped:
             log.info("Resume: %d of %d genomes already sketched", skipped,
@@ -210,8 +210,14 @@ def run_sketch(args) -> None:
         )
 
 
-def _resolved_set(names) -> set:
-    """Resolve path strings for resume matching (spelling-insensitive)."""
+def _resolved_set(manifest: dict) -> set:
+    """Absolute-path resume keys for an existing manifest.
+
+    Prefers the manifest's recorded resolved_names (absolute paths written
+    by the ORIGINAL run in its own cwd) so that resuming from a different
+    working directory still matches relative input paths; manifests from
+    before the field resolve in the current cwd as a best effort."""
+    names = manifest.get("resolved_names") or manifest["names"]
     return {str(Path(n).resolve()) for n in names}
 
 
@@ -249,7 +255,7 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
         ):
             log.error("--resume: existing DB has different sketch params")
             sys.exit(1)
-        done = _resolved_set(base_manifest["names"])
+        done = _resolved_set(base_manifest)
         skipped = sum(1 for f in files if str(Path(f).resolve()) in done)
         if skipped and pid == 0:
             log.info("Resume: %d of %d genomes already sketched", skipped,
@@ -291,19 +297,24 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
 def run_dist(args, top_k: int = 0) -> None:
     from hypergen_tpu.models.comparator import (
         Comparator,
-        format_ani_report,
         report_sparsity,
+        write_ani_report,
     )
 
     import jax
 
+    dp = DistParams(
+        path_ref_sketch=args.path_r, path_query_sketch=args.path_q,
+        out_file=args.out, ksize=args.ksize, hv_d=args.hv_d,
+        ani_threshold=args.ani_th, top_k=top_k,
+    )
     t0 = time.monotonic()
-    if_sym = args.path_r == args.path_q
+    if_sym = dp.path_ref_sketch == dp.path_query_sketch
     if jax.process_count() > 1:
-        _run_dist_pod(args, if_sym, t0)
+        _run_dist_pod(dp, if_sym, t0)
         return
-    ref_db = _load_db(args.path_r)
-    query_db = ref_db if if_sym else _load_db(args.path_q)
+    ref_db = _load_db(dp.path_ref_sketch)
+    query_db = ref_db if if_sym else _load_db(dp.path_query_sketch)
     if ref_db.ksize != query_db.ksize:
         log.error("Ref and query sketches use different kmer sizes!")
         sys.exit(1)
@@ -314,75 +325,77 @@ def run_dist(args, top_k: int = 0) -> None:
     # ksize comes from the sketch file, not the CLI flag
     # (reference:src/dist.rs:26,50)
     comp = Comparator(ksize=ref_db.ksize)
-    if args.ani_th >= THRESHOLDED_DIST_MIN:
+    if dp.ani_threshold >= THRESHOLDED_DIST_MIN:
         # production thresholds: filter + compact on device, fetch only
         # survivors (tiny D2H); rows are identical to the dense path
         ri, qi, ani, n_total = comp.ani_pairs_thresholded(
-            ref_db, query_db, symmetric=if_sym, threshold=args.ani_th
+            ref_db, query_db, symmetric=if_sym, threshold=dp.ani_threshold
         )
     else:
         # low thresholds: fetch full dot tiles but keep only survivors on
         # host (no M x N matrix materialization)
         ri, qi, ani, n_total = comp.ani_pairs_streamed(
-            ref_db, query_db, symmetric=if_sym, threshold=args.ani_th
+            ref_db, query_db, symmetric=if_sym, threshold=dp.ani_threshold
         )
-    tsv, n_rep = format_ani_report(
-        ref_db.names, query_db.names, ri, qi, ani, args.ani_th, top_k=top_k
+    n_rep = write_ani_report(
+        dp.out_file, ref_db.names, query_db.names, ri, qi, ani,
+        dp.ani_threshold, top_k=dp.top_k,
     )
-    Path(args.out).write_text(tsv)
-    report_sparsity(n_rep, n_total, args.ani_th)
+    report_sparsity(n_rep, n_total, dp.ani_threshold)
     log.info(
         "Computed ANIs for %d ref files and %d query files took %.3fs",
         len(ref_db.names), len(query_db.names), time.monotonic() - t0,
     )
 
 
-def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
+def _run_dist_pod(dp: DistParams, if_sym: bool, t0: float) -> None:
     """Pod-mode dist: host p computes pairs for its own ref row range;
     process 0 merges the TSV. An .hgdb ref is row-loaded per host
     (load_db_rows); a legacy .sketch ref is loaded once and row-sliced.
     When the query side is an .hgdb, query rows stream in bounded chunks —
     neither side fully materializes on one host. Thresholds >= 50 use the
     device filter+compact path; lower thresholds the host-filtered streamed
-    path. Symmetric runs skip sub-diagonal tiles via global row offsets."""
+    path. Symmetric runs skip sub-diagonal tiles via global row offsets.
+    The merge loads parts one at a time with int32 indices and streams the
+    TSV (write_ani_report), so GTDB-scale pair counts stay bounded."""
     import json
 
     import jax
 
     from hypergen_tpu.io.sketch_db import load_db_rows
     from hypergen_tpu.models.comparator import (
-        Comparator, format_ani_report, report_sparsity,
+        Comparator, report_sparsity, write_ani_report,
     )
     from hypergen_tpu.parallel.mesh import shared_run_token
 
     token = shared_run_token()
     pid, nproc = jax.process_index(), jax.process_count()
-    r_is_hgdb = Path(args.path_r).is_dir()
+    r_is_hgdb = Path(dp.path_ref_sketch).is_dir()
     if r_is_hgdb:
         manifest = json.loads(
-            (Path(args.path_r) / "manifest.json").read_text()
+            (Path(dp.path_ref_sketch) / "manifest.json").read_text()
         )
         M, r_names, r_ksize, r_hvd = (
             manifest["n_genomes"], manifest["names"],
             manifest["ksize"], manifest["hv_d"],
         )
     else:
-        ref_full = _load_db(args.path_r)
+        ref_full = _load_db(dp.path_ref_sketch)
         M, r_names, r_ksize, r_hvd = (
             len(ref_full.names), ref_full.names,
             ref_full.ksize, ref_full.hv_d,
         )
-    q_is_hgdb = Path(args.path_q).is_dir()
+    q_is_hgdb = Path(dp.path_query_sketch).is_dir()
     if q_is_hgdb:
         q_manifest = json.loads(
-            (Path(args.path_q) / "manifest.json").read_text()
+            (Path(dp.path_query_sketch) / "manifest.json").read_text()
         )
         q_names, q_ksize, q_hvd = (
             q_manifest["names"], q_manifest["ksize"], q_manifest["hv_d"],
         )
     else:
         query_full = (
-            ref_full if if_sym else _load_db(args.path_q)
+            ref_full if if_sym else _load_db(dp.path_query_sketch)
         )
         q_names, q_ksize, q_hvd = (
             query_full.names, query_full.ksize, query_full.hv_d,
@@ -394,11 +407,11 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     lo = round(pid * M / nproc)
     hi = round((pid + 1) * M / nproc)
     ref_part = (
-        load_db_rows(args.path_r, lo, hi)
+        load_db_rows(dp.path_ref_sketch, lo, hi)
         if r_is_hgdb else _slice_db(ref_full, lo, hi)
     )
     comp = Comparator(ksize=q_ksize)
-    thresholded = args.ani_th >= THRESHOLDED_DIST_MIN
+    thresholded = dp.ani_threshold >= THRESHOLDED_DIST_MIN
     ref_blocks = (
         comp.preload_ref(ref_part) if thresholded
         else comp.preload_rows(ref_part.hvs)
@@ -408,35 +421,39 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
     for qlo in range(0, N, Q_CHUNK):
         qhi = min(qlo + Q_CHUNK, N)
         q_part = (
-            load_db_rows(args.path_q, qlo, qhi)
+            load_db_rows(dp.path_query_sketch, qlo, qhi)
             if q_is_hgdb else _slice_db(query_full, qlo, qhi)
         )
         # global offsets make the symmetric i<j pair set exact across hosts
         # and let the comparator skip tiles entirely below the diagonal
         if thresholded:
             ri, qi, ani, _ = comp.ani_pairs_thresholded(
-                ref_part, q_part, symmetric=if_sym, threshold=args.ani_th,
+                ref_part, q_part, symmetric=if_sym,
+                threshold=dp.ani_threshold,
                 ref_blocks=ref_blocks, ref_offset=lo, query_offset=qlo,
             )
         else:
             ri, qi, ani, _ = comp.ani_pairs_streamed(
-                ref_part, q_part, symmetric=if_sym, threshold=args.ani_th,
+                ref_part, q_part, symmetric=if_sym,
+                threshold=dp.ani_threshold,
                 ref_blocks=ref_blocks, ref_offset=lo, query_offset=qlo,
             )
-        rs.append(ri + lo)
-        qs.append(qi + qlo)
+        rs.append((ri + lo).astype(np.int32))
+        qs.append((qi + qlo).astype(np.int32))
         asv.append(ani)
-    ri = np.concatenate(rs) if rs else np.zeros(0, np.int64)
-    qi = np.concatenate(qs) if qs else np.zeros(0, np.int64)
+    ri = np.concatenate(rs) if rs else np.zeros(0, np.int32)
+    qi = np.concatenate(qs) if qs else np.zeros(0, np.int32)
     ani = np.concatenate(asv) if asv else np.zeros(0, np.float32)
     n_total = M * (M - 1) // 2 if if_sym else M * N
-    out = Path(args.out)
+    out = Path(dp.out_file)
     part = out.with_suffix(out.suffix + f".part{pid:05d}.{token}.npz")
     np.savez(part, ri=ri, qi=qi, ani=ani)
     part.with_suffix(".done").write_text("ok")
     if pid != 0:
         return
-    # process 0: wait for this run's parts, merge in enumeration order
+    # process 0: wait for this run's parts, merge in enumeration order.
+    # Parts load one at a time and indices stay int32 (12 B/pair + the
+    # sort permutations) so a GTDB-scale merge does not blow host RAM.
     from hypergen_tpu.io.sketch_db import wait_for_part_files
 
     parts = [
@@ -444,20 +461,26 @@ def _run_dist_pod(args, if_sym: bool, t0: float) -> None:
         for p in range(nproc)
     ]
     wait_for_part_files([p.with_suffix(".done") for p in parts])
-    merged = [np.load(p) for p in parts]
-    ri = np.concatenate([z["ri"] for z in merged])
-    qi = np.concatenate([z["qi"] for z in merged])
-    ani = np.concatenate([z["ani"] for z in merged])
+    ri_l, qi_l, ani_l = [], [], []
+    for p in parts:
+        with np.load(p) as z:
+            ri_l.append(z["ri"].astype(np.int32, copy=False))
+            qi_l.append(z["qi"].astype(np.int32, copy=False))
+            ani_l.append(z["ani"])
+    ri, qi, ani = (
+        np.concatenate(ri_l), np.concatenate(qi_l), np.concatenate(ani_l)
+    )
+    del ri_l, qi_l, ani_l
     order = np.lexsort((qi, ri))
     ri, qi, ani = ri[order], qi[order], ani[order]
-    tsv, n_rep = format_ani_report(
-        r_names, q_names, ri, qi, ani, args.ani_th
+    del order
+    n_rep = write_ani_report(
+        out, r_names, q_names, ri, qi, ani, dp.ani_threshold
     )
-    out.write_text(tsv)
     for p in parts:
         p.unlink(missing_ok=True)
         p.with_suffix(".done").unlink(missing_ok=True)
-    report_sparsity(n_rep, n_total, args.ani_th)
+    report_sparsity(n_rep, n_total, dp.ani_threshold)
     log.info(
         "Computed ANIs for %d ref files and %d query files took %.3fs",
         M, N, time.monotonic() - t0,
@@ -480,14 +503,21 @@ def run_search(args) -> None:
 
 
 def run_hist(args) -> None:
-    from hypergen_tpu.io.sketch_db import (
-        hv_value_histogram, load_sharded_db, load_sketch,
-    )
+    from hypergen_tpu.io.sketch_db import hv_value_histogram, load_sketch
 
-    if args.path_r.is_dir():  # .hgdb: HVs are already dense
-        db = load_sharded_db(args.path_r)
-        vals, counts = np.unique(db.hvs, return_counts=True)
-        hist = dict(zip(vals.tolist(), counts.tolist()))
+    if args.path_r.is_dir():  # .hgdb: histogram shard by shard (memory-
+        # mapped), so a GTDB-scale DB never fully materializes on host
+        import json
+
+        manifest = json.loads(
+            (args.path_r / "manifest.json").read_text()
+        )
+        hist: dict = {}
+        for sh in manifest["shards"]:
+            hvs = np.load(args.path_r / sh["hv"], mmap_mode="r")
+            vals, counts = np.unique(hvs, return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                hist[v] = hist.get(v, 0) + c
     else:
         hist = hv_value_histogram(load_sketch(args.path_r))
     try:

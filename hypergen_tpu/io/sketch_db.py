@@ -175,10 +175,23 @@ def append_db_shard(out_dir, db: "ShardedDB") -> None:
         }
     )
     manifest["names"] = manifest["names"] + list(db.names)
+    # keep resolved_names aligned (backfill a pre-field manifest's prefix
+    # from its names; best effort — those resolve in the current cwd)
+    manifest["resolved_names"] = (
+        manifest.get("resolved_names")
+        or _resolve_names(manifest["names"][: row])
+    ) + _resolve_names(db.names)
     manifest["n_genomes"] = row + len(db.names)
     tmp = out / "manifest.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.rename(out / "manifest.json")
+
+
+def _resolve_names(names) -> List[str]:
+    """Absolute-path resume keys, resolved in the cwd of the run that
+    RECORDED the names — stored in the manifest so a later --resume run
+    from a different cwd still matches relative input paths correctly."""
+    return [str(Path(n).resolve()) for n in names]
 
 
 @dataclasses.dataclass
@@ -228,6 +241,7 @@ def dump_sharded_db(db: ShardedDB, out_dir, n_shards: int = 1) -> None:
         "sketch_method": db.sketch_method,
         "n_genomes": n,
         "names": db.names,
+        "resolved_names": _resolve_names(db.names),
         "shards": shards,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
@@ -323,6 +337,21 @@ def load_db_rows(path, lo: int, hi: int) -> ShardedDB:
     )
 
 
+def load_db_norms(path) -> np.ndarray:
+    """All L2-norm² values of an .hgdb as one [M] int32 array.
+
+    Norms are 4 bytes/genome — tiny next to the HVs — so loading them all
+    is fine even at GTDB scale (search uses them to recompute exact
+    host-chain ANI for the top-k winners)."""
+    root = Path(path)
+    manifest = json.loads((root / "manifest.json").read_text())
+    shards = sorted(manifest["shards"], key=lambda sh: sh["rows"][0])
+    parts = [np.load(root / sh["norm"]) for sh in shards]
+    return (
+        np.concatenate(parts) if parts else np.zeros(0, np.int32)
+    ).astype(np.int32, copy=False)
+
+
 def dump_db_shard_part(
     db: ShardedDB, out_dir, part_id: int, n_parts: int, token: str = "",
     shard_id: int | None = None,
@@ -350,6 +379,7 @@ def dump_db_shard_part(
         "hv_d": db.hv_d,
         "sketch_method": db.sketch_method,
         "names": db.names,
+        "resolved_names": _resolve_names(db.names),
         "n_rows": len(db.names),
     }
     name = f"manifest.part{part_id:05d}.{token}.json" if token else \
@@ -381,11 +411,15 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: Optional[float] = None,
     wait_for_part_files(paths, timeout_s)
     parts = [json.loads(p.read_text()) for p in paths]
     names: List[str] = []
+    resolved: List[str] = []
     shards = []
     row = 0
     if base_manifest is not None:
         shards = [dict(sh) for sh in base_manifest["shards"]]
         names = list(base_manifest["names"])
+        resolved = list(
+            base_manifest.get("resolved_names") or _resolve_names(names)
+        )
         row = base_manifest["n_genomes"]
     for part in parts:
         n = part["n_rows"]
@@ -399,6 +433,9 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: Optional[float] = None,
             }
         )
         names.extend(part["names"])
+        resolved.extend(
+            part.get("resolved_names") or _resolve_names(part["names"])
+        )
         row += n
     p0 = parts[0]
     manifest = {
@@ -411,6 +448,7 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: Optional[float] = None,
         "sketch_method": p0.get("sketch_method", "t1ha2"),
         "n_genomes": row,
         "names": names,
+        "resolved_names": resolved,
         "shards": shards,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
@@ -418,13 +456,20 @@ def merge_db_parts(out_dir, n_parts: int, timeout_s: Optional[float] = None,
         p_.unlink(missing_ok=True)
 
 
-def wait_for_part_files(paths, timeout_s: Optional[float] = None) -> None:
+def wait_for_part_files(
+    paths,
+    timeout_s: Optional[float] = None,
+    stall_s: Optional[float] = None,
+) -> None:
     """Poll a shared filesystem until every part file exists (pod merges).
 
-    Default is to wait indefinitely (peer hosts of a pod run can lag hours
-    behind on large workloads; timing out would discard the whole run's
-    compute), logging the missing parts every 60 s so a stuck merge is
-    visible. Set HG_PART_TIMEOUT_S (or pass timeout_s) to bound the wait.
+    Default is to wait with no *total* ceiling (peer hosts of a pod run can
+    lag hours behind on large workloads; a short timeout would discard the
+    whole run's compute), but fail on *stall*: if no new part appears for
+    stall_s (HG_PART_STALL_S, default 4 h) a peer host has almost certainly
+    crashed and the merge raises instead of hanging unattended forever.
+    Missing parts are logged every 60 s so a stuck merge stays visible.
+    Set HG_PART_TIMEOUT_S (or pass timeout_s) to also bound total wait.
     """
     import logging as _logging
     import os as _os
@@ -433,19 +478,34 @@ def wait_for_part_files(paths, timeout_s: Optional[float] = None) -> None:
     if timeout_s is None:
         env = _os.environ.get("HG_PART_TIMEOUT_S", "")
         timeout_s = float(env) if env else float("inf")
+    if stall_s is None:
+        env = _os.environ.get("HG_PART_STALL_S", "")
+        stall_s = float(env) if env else 4 * 3600.0
     log_ = _logging.getLogger("hypergen")
     start = _time.monotonic()
     next_report = start + 60.0
-    while not all(p.exists() for p in paths):
+    last_progress = start
+    n_done_prev = -1
+    while True:
+        n_done = sum(1 for p in paths if p.exists())
+        if n_done == len(paths):
+            return
         now = _time.monotonic()
+        if n_done != n_done_prev:
+            n_done_prev = n_done
+            last_progress = now
+        missing = [str(p) for p in paths if not p.exists()]
         if now - start > timeout_s:
-            missing = [str(p) for p in paths if not p.exists()]
             raise TimeoutError(f"missing parts: {missing}")
+        if now - last_progress > stall_s:
+            raise TimeoutError(
+                f"no new pod part for {now - last_progress:.0f}s "
+                f"(peer host crashed?); missing parts: {missing}"
+            )
         if now >= next_report:
-            n_missing = sum(1 for p in paths if not p.exists())
             log_.info(
                 "waiting for %d/%d pod part files (%.0fs elapsed)",
-                n_missing, len(paths), now - start,
+                len(missing), len(paths), now - start,
             )
             next_report = now + 60.0
         _time.sleep(0.2)

@@ -71,14 +71,22 @@ class Comparator:
         self.compact_cap0 = 1 << 14  # initial survivor cap per tile
         self._dot = dot_i16_any
         self._presplit = jax.jit(presplit_rows)
-        self._bound_cache: dict = {}
+        # LRU of (array_ref, bound): holding the array keeps id() valid, so
+        # the cache MUST stay small — streamed dist calls dot_mode once per
+        # ~64 MB query chunk and an unbounded cache would pin every chunk
+        # for the process lifetime (r2 advisor finding)
+        from collections import OrderedDict
+
+        self._bound_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._bound_cache_max = 4
 
     def dot_mode(self, *hv_arrays):
         """Per-call MXU mode: upgrade to the 3-matmul Karatsuba split when
         every HV value across the operands fits SMALL_SPLIT_MAX.
 
-        The bound scan (ops.ani.abs_bound) is memoized per array object —
-        DBs are reused across calls.
+        The bound scan (ops.ani.abs_bound) is memoized per array object in
+        a small LRU — resident DBs are reused across calls; streamed
+        per-chunk slices are bounded once and released when they age out.
         """
         from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX, abs_bound
 
@@ -86,9 +94,12 @@ class Comparator:
             key = id(a)
             hit = self._bound_cache.get(key)
             if hit is not None and hit[0] is a:
+                self._bound_cache.move_to_end(key)
                 return hit[1]
             b = abs_bound(a)
             self._bound_cache[key] = (a, b)  # keep a ref so id stays valid
+            while len(self._bound_cache) > self._bound_cache_max:
+                self._bound_cache.popitem(last=False)
             return b
 
         if self.use_mxu is True and all(
@@ -412,6 +423,44 @@ def format_ani_report(
         if top_k and len(lines) >= top_k:
             break
     return "".join(lines), len(lines)
+
+
+def write_ani_report(
+    out_path,
+    ref_names: List[str],
+    query_names: List[str],
+    ref_idx: np.ndarray,
+    query_idx: np.ndarray,
+    ani: np.ndarray,
+    threshold: float,
+    top_k: int = 0,
+    chunk_rows: int = 1 << 20,
+) -> int:
+    """Streamed reference-exact TSV writer; returns n_reported.
+
+    Byte-identical to format_ani_report (same stable-sort-reversed order,
+    '%.3f', early threshold cut, reference:src/utils.rs:260-290) but writes
+    in bounded chunks instead of building one giant Python string, so a
+    GTDB-scale report (tens of millions of rows) streams to disk with O(1)
+    extra host memory beyond the index/ANI arrays themselves.
+    """
+    ani = np.asarray(ani)
+    order = np.argsort(ani, kind="stable")[::-1]
+    # rows emitted = exactly those with ani >= threshold (sorted desc, so
+    # the reference's early break keeps a prefix), optionally top_k-capped
+    n_keep = int(np.count_nonzero(ani >= np.float32(threshold)))
+    if top_k:
+        n_keep = min(n_keep, top_k)
+    with open(out_path, "w") as fh:
+        for lo in range(0, n_keep, chunk_rows):
+            sel = order[lo : min(lo + chunk_rows, n_keep)]
+            fh.write(
+                "".join(
+                    f"{ref_names[int(i)]}\t{query_names[int(j)]}\t{a:.3f}\n"
+                    for i, j, a in zip(ref_idx[sel], query_idx[sel], ani[sel])
+                )
+            )
+    return n_keep
 
 
 def report_sparsity(n_reported: int, n_total: int, threshold: float) -> None:

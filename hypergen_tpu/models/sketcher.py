@@ -631,7 +631,13 @@ class Sketcher:
             p2[i, : g.packed2.shape[0]] = g.packed2
         if max(r.shape[0] for r in adj) <= self.run_cap:
             runs = np.zeros((self.batch, self.run_cap, 2), dtype=np.int32)
-            runs[:, 0, 1] = L_pad  # padding rows beyond the real batch
+            # Mark ONLY rows beyond the real batch fully invalid.  Seeding
+            # every row and relying on real genomes to overwrite silently
+            # emptied any genome with an empty adjusted run list (reachable
+            # when g.length == L_pad, i.e. (ksize-1) % 8 == 0 and the genome
+            # exactly fills its bucket): zero rows written -> row stayed
+            # marked invalid -> n_hashes=0 with no error (r2 verdict bug).
+            runs[len(adj):, 0, 1] = L_pad
             for i, r in enumerate(adj):
                 runs[i, : r.shape[0]] = r
             return "runs", p2, runs

@@ -233,15 +233,20 @@ def ani_topk(
     k_top: int,
     use_mxu: bool = True,
 ):
-    """Per-query top-k (ANI, ref index) — the `search` primitive.
+    """Per-query top-k (ANI, ref index, exact dot) — the `search` primitive.
 
-    Returns (ani [N, k_top] float32, idx [N, k_top] int32) where rows are
-    queries. The reference's `search` subcommand is an unimplemented stub
+    Returns (ani [N, k_top] float32, idx [N, k_top] int32, dot [N, k_top]
+    int32) where rows are queries. The int32 dots are exact (mod 2^32);
+    the TSV path recomputes ANI from them with the host float chain so
+    `search` rows print byte-identically to `dist` rows for the same pair.
+    The reference's `search` subcommand is an unimplemented stub
     (reference:src/main.rs:22-24); this realizes it as dist-with-top-k.
     """
-    ani = ani_matrix(r_hv, norm2_r, q_hv, norm2_q, ksize, use_mxu=use_mxu)  # [M, N]
+    dot = dot_i16_any(r_hv, q_hv, use_mxu=use_mxu)  # [M, N] exact int32
+    ani = ani_from_dot_matrix(dot, norm2_r, norm2_q, ksize)
     vals, idx = jax.lax.top_k(ani.T, k_top)  # [N, k_top]
-    return vals, idx.astype(jnp.int32)
+    dots = jnp.take_along_axis(dot.T, idx, axis=1)
+    return vals, idx.astype(jnp.int32), dots
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "cap", "use_mxu"))

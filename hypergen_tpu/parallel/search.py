@@ -40,23 +40,28 @@ def _local_search(db_hv, db_norm, q_hv, q_norm, *, ksize: int, k_top: int,
                   use_mxu: bool):
     """Per-shard body (runs under shard_map)."""
     m_local = db_hv.shape[0]
-    dot = dot_i16_exact(db_hv, q_hv, use_mxu=use_mxu)  # [m_l, n_l]
+    dot = dot_i16_exact(db_hv, q_hv, use_mxu=use_mxu)  # [m_l, n_l] exact i32
     ani = ani_from_dot_matrix(dot, db_norm, q_norm, ksize)
     vals, idx = jax.lax.top_k(ani.T, min(k_top, m_local))  # [n_l, k']
+    dots = jnp.take_along_axis(dot.T, idx, axis=1)
     if vals.shape[1] < k_top:  # shard smaller than k: pad with -inf
         pad = k_top - vals.shape[1]
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=0)
+        dots = jnp.pad(dots, ((0, 0), (0, pad)), constant_values=0)
     gidx = idx + jax.lax.axis_index(AXIS_DB) * m_local
     # gather candidates from every db shard: [ndb, n_l, k]
     av = jax.lax.all_gather(vals, AXIS_DB)
     ai = jax.lax.all_gather(gidx, AXIS_DB)
+    ad = jax.lax.all_gather(dots, AXIS_DB)
     n_l = av.shape[1]
     av = jnp.moveaxis(av, 0, 1).reshape(n_l, -1)
     ai = jnp.moveaxis(ai, 0, 1).reshape(n_l, -1)
+    ad = jnp.moveaxis(ad, 0, 1).reshape(n_l, -1)
     mv, mpos = jax.lax.top_k(av, k_top)
     mi = jnp.take_along_axis(ai, mpos, axis=1)
-    return mv, mi.astype(jnp.int32)
+    md = jnp.take_along_axis(ad, mpos, axis=1)
+    return mv, mi.astype(jnp.int32), md
 
 
 def _search_fn(mesh: Mesh, ksize: int, k_top: int, use_mxu: bool):
@@ -68,7 +73,7 @@ def _search_fn(mesh: Mesh, ksize: int, k_top: int, use_mxu: bool):
             ),
             mesh=mesh,
             in_specs=(P(AXIS_DB, None), P(AXIS_DB), P(AXIS_Q, None), P(AXIS_Q)),
-            out_specs=(P(AXIS_Q, None), P(AXIS_Q, None)),
+            out_specs=(P(AXIS_Q, None), P(AXIS_Q, None), P(AXIS_Q, None)),
             # outputs are replicated over `db` by construction (post
             # all_gather merge), which the static checker can't infer
             check_vma=False,
@@ -76,14 +81,15 @@ def _search_fn(mesh: Mesh, ksize: int, k_top: int, use_mxu: bool):
     )
 
 
-def _mask_padding(ani, idx, M, Mp, N):
-    ani, idx = ani[:N], idx[:N]
+def _mask_padding(ani, idx, dot, M, Mp, N):
+    ani, idx, dot = ani[:N], idx[:N], dot[:N]
     # mask out padded DB rows (they can only appear when M < Mp)
     if Mp != M:
         bad = idx >= M
         ani = np.where(bad, -np.inf, ani)
         idx = np.where(bad, 0, idx)
-    return ani, idx
+        dot = np.where(bad, 0, dot)
+    return ani, idx, dot
 
 
 def sharded_topk_search(
@@ -100,7 +106,9 @@ def sharded_topk_search(
 
     Pads M to the db-axis size and N to the q-axis size; padding DB rows are
     zero HVs (ANI NaN->0) and sliced out of results by global index masking.
-    Returns (ani [N, k_top] float32, idx [N, k_top] int32 global DB rows).
+    Returns (ani [N, k_top] float32, idx [N, k_top] int32 global DB rows,
+    dot [N, k_top] exact int32 dots for the winners — the TSV path feeds
+    these through the host float chain for dist-identical values).
     """
     use_mxu = _resolve_mxu(use_mxu, db_hv, q_hv)
     ndb = mesh.shape[AXIS_DB]
@@ -116,8 +124,8 @@ def sharded_topk_search(
         jax.device_put(_pad_rows(q_hv, Np), sh(P(AXIS_Q, None))),
         jax.device_put(_pad_rows(q_norm, Np), sh(P(AXIS_Q))),
     )
-    ani, idx = jax.device_get(fn(*args))
-    return _mask_padding(ani, idx, M, Mp, N)
+    ani, idx, dot = jax.device_get(fn(*args))
+    return _mask_padding(ani, idx, dot, M, Mp, N)
 
 
 def multihost_topk_search(
@@ -139,7 +147,8 @@ def multihost_topk_search(
     (they are tiny next to the DB).
 
     Call after jax.distributed.initialize (mesh.init_distributed). Returns
-    (ani [N, k_top], idx [N, k_top]) — replicated, identical on all hosts.
+    (ani [N, k_top], idx [N, k_top], dot [N, k_top]) — replicated,
+    identical on all hosts.
     """
     import json
     from pathlib import Path as _Path
@@ -176,11 +185,12 @@ def multihost_topk_search(
     qn_dev = jax.device_put(q_norm, sh(P(AXIS_Q)))
 
     fn = _search_fn(mesh, ksize, k_top, use_mxu)
-    ani_g, idx_g = fn(db_hv, db_norm, q_dev, qn_dev)
+    ani_g, idx_g, dot_g = fn(db_hv, db_norm, q_dev, qn_dev)
     # outputs are replicated (q axis is 1, db-merged): read the local copy
     ani = np.asarray(ani_g.addressable_data(0))
     idx = np.asarray(idx_g.addressable_data(0))
-    return _mask_padding(ani, idx, M, Mp, N)
+    dot = np.asarray(dot_g.addressable_data(0))
+    return _mask_padding(ani, idx, dot, M, Mp, N)
 
 
 def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
@@ -207,15 +217,20 @@ def _resolve_mxu(use_mxu, *hv_arrays):
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "k_top", "use_mxu"))
-def _topk_tile_merge(db_tile, dbn_tile, q, qn, run_v, run_i, offset,
+def _topk_tile_merge(db_tile, dbn_tile, q, qn, run_v, run_i, run_d, offset,
                      ksize: int, k_top: int, use_mxu: bool):
     from hypergen_tpu.ops.ani import ani_topk
 
-    v, i = ani_topk(db_tile, dbn_tile, q, qn, ksize, k_top, use_mxu=use_mxu)
+    v, i, d = ani_topk(db_tile, dbn_tile, q, qn, ksize, k_top, use_mxu=use_mxu)
     cv = jnp.concatenate([run_v, v], axis=1)
     ci = jnp.concatenate([run_i, i + offset], axis=1)
+    cd = jnp.concatenate([run_d, d], axis=1)
     mv, mp = jax.lax.top_k(cv, k_top)
-    return mv, jnp.take_along_axis(ci, mp, axis=1)
+    return (
+        mv,
+        jnp.take_along_axis(ci, mp, axis=1),
+        jnp.take_along_axis(cd, mp, axis=1),
+    )
 
 
 def local_topk_search_tiled(
@@ -244,17 +259,23 @@ def local_topk_search_tiled(
     qn_dev = _jnp.asarray(q_norm)
     run_v = _jnp.full((N, k_top), -_jnp.inf, dtype=_jnp.float32)
     run_i = _jnp.zeros((N, k_top), dtype=_jnp.int32)
+    run_d = _jnp.zeros((N, k_top), dtype=_jnp.int32)
     for mi in range(0, M, tile_m):
         tile = _pad_rows(db_hv[mi : mi + tile_m], tile_m)
         tn = _pad_rows(db_norm[mi : mi + tile_m], tile_m)
-        run_v, run_i = _topk_tile_merge(
+        run_v, run_i, run_d = _topk_tile_merge(
             _jnp.asarray(tile), _jnp.asarray(tn), q_dev, qn_dev,
-            run_v, run_i, _jnp.int32(mi), ksize, k_top, use_mxu,
+            run_v, run_i, run_d, _jnp.int32(mi), ksize, k_top, use_mxu,
         )
     ani = np.asarray(run_v)
     idx = np.asarray(run_i)
+    dot = np.asarray(run_d)
     bad = idx >= M  # padded rows of the last tile
-    return np.where(bad, -np.inf, ani), np.where(bad, 0, idx)
+    return (
+        np.where(bad, -np.inf, ani),
+        np.where(bad, 0, idx),
+        np.where(bad, 0, dot),
+    )
 
 
 def sharded_topk_search_tiled(
@@ -279,17 +300,20 @@ def sharded_topk_search_tiled(
     M, N = db_hv.shape[0], q_hv.shape[0]
     run_v = np.full((N, k_top), -np.inf, dtype=np.float32)
     run_i = np.zeros((N, k_top), dtype=np.int32)
+    run_d = np.zeros((N, k_top), dtype=np.int32)
     for mi in range(0, M, tile_m):
-        v, i = sharded_topk_search(
+        v, i, d = sharded_topk_search(
             mesh, db_hv[mi : mi + tile_m], db_norm[mi : mi + tile_m],
             q_hv, q_norm, ksize, k_top, use_mxu=use_mxu,
         )
         cv = np.concatenate([run_v, v], axis=1)
         ci = np.concatenate([run_i, i + mi], axis=1)
+        cd = np.concatenate([run_d, d], axis=1)
         pos = np.argsort(-cv, axis=1, kind="stable")[:, :k_top]
         run_v = np.take_along_axis(cv, pos, axis=1)
         run_i = np.take_along_axis(ci, pos, axis=1).astype(np.int32)
-    return run_v, run_i
+        run_d = np.take_along_axis(cd, pos, axis=1).astype(np.int32)
+    return run_v, run_i, run_d
 
 
 # per-device ANI-matrix budget above which DB search streams row tiles
@@ -298,11 +322,16 @@ PAIRS_PER_DEVICE_TILE_LIMIT = 1 << 28
 
 
 def run_search_cli(args, load_db) -> None:
-    """CLI glue for the `search` subcommand."""
+    """CLI glue for the `search` subcommand.
+
+    Output rows are byte-consistent with `dist`: same `ref\\tquery\\tani`
+    column order (reference:src/utils.rs:272-286) and ANI recomputed on
+    host from the winners' exact int32 dots (the device float chain only
+    RANKS candidates; its O(1e-4) drift never reaches the TSV)."""
     import json
     from pathlib import Path as _Path
 
-    from hypergen_tpu.models.comparator import format_ani_report
+    from hypergen_tpu.models.comparator import _ani_host_pairs
 
     t0 = time.monotonic()
     query_db = load_db(args.path_q)
@@ -311,18 +340,20 @@ def run_search_cli(args, load_db) -> None:
         and _Path(args.path_r).is_dir()
     ):
         # pod mode: every host loads only its devices' DB rows
+        from hypergen_tpu.io.sketch_db import load_db_norms
+
         manifest = json.loads(
             (_Path(args.path_r) / "manifest.json").read_text()
         )
         if manifest["ksize"] != query_db.ksize or manifest["hv_d"] != query_db.hv_d:
             raise SystemExit("ref/query sketch parameter mismatch")
-        ref_names = manifest["names"]
         k_top = min(args.top_k, manifest["n_genomes"])
-        ani, idx = multihost_topk_search(
+        ani, idx, dot = multihost_topk_search(
             args.path_r, query_db.hvs, query_db.norms,
             ksize=query_db.ksize, k_top=k_top,
         )
-        ref_db_names = ref_names
+        ref_db_names = manifest["names"]
+        ref_norms = load_db_norms(args.path_r)
         n_refs = manifest["n_genomes"]
     else:
         ref_db = load_db(args.path_r)
@@ -336,38 +367,52 @@ def run_search_cli(args, load_db) -> None:
         per_dev_pairs = -(-M // ndev) * N
         if per_dev_pairs <= PAIRS_PER_DEVICE_TILE_LIMIT:
             mesh = make_mesh()
-            ani, idx = sharded_topk_search(
+            ani, idx, dot = sharded_topk_search(
                 mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
                 ksize=ref_db.ksize, k_top=k_top,
             )
         elif ndev == 1:
             # stream row tiles through a running on-device top-k merge
-            ani, idx = local_topk_search_tiled(
+            ani, idx, dot = local_topk_search_tiled(
                 ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
                 ksize=ref_db.ksize, k_top=k_top,
             )
         else:
             mesh = make_mesh()
             tile_m = max(8192, PAIRS_PER_DEVICE_TILE_LIMIT // max(N, 1) * ndev)
-            ani, idx = sharded_topk_search_tiled(
+            ani, idx, dot = sharded_topk_search_tiled(
                 mesh, ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
                 ksize=ref_db.ksize, k_top=k_top, tile_m=tile_m,
             )
         ref_db_names = ref_db.names
+        ref_norms = ref_db.norms
         n_refs = M
+    # exact host-chain ANI for the winners: identical f32 ops (and thus
+    # identical 3-decimal rounding) to the dist TSV path
+    N = ani.shape[0]
+    exact = _ani_host_pairs(
+        dot.ravel().astype(np.int32),
+        np.asarray(ref_norms)[idx.ravel()],
+        np.repeat(np.asarray(query_db.norms), k_top) if k_top else
+        np.zeros(0, np.int32),
+        query_db.ksize,
+    ).reshape(N, k_top)
+    valid = np.isfinite(ani)  # -inf marks short-shard / padded-row slots
     lines = []
     thr = np.float32(args.ani_th)
-    for qi in range(ani.shape[0]):
-        for j in range(k_top):
-            if ani[qi, j] >= thr:
+    for qi in range(N):
+        # per-query rows sorted by the exact ANI, reference tie semantics
+        # (stable ascending then reversed, reference:src/utils.rs:262-269)
+        for j in np.argsort(exact[qi], kind="stable")[::-1]:
+            if valid[qi, j] and exact[qi, j] >= thr:
                 lines.append(
-                    f"{query_db.names[qi]}\t{ref_db_names[int(idx[qi, j])]}\t"
-                    f"{ani[qi, j]:.3f}\n"
+                    f"{ref_db_names[int(idx[qi, j])]}\t{query_db.names[qi]}\t"
+                    f"{exact[qi, j]:.3f}\n"
                 )
     if jax.process_index() == 0:  # results replicated across hosts
         Path(args.out).write_text("".join(lines))
     log.info(
         "Searched %d queries against %d refs (top-%d) in %.3fs -> %d hits",
-        ani.shape[0], n_refs, k_top,
+        N, n_refs, k_top,
         time.monotonic() - t0, len(lines),
     )

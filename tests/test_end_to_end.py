@@ -284,6 +284,30 @@ class TestResume:
         db = load_sharded_db(out)
         assert len(db.names) == 2
 
+    def test_resume_cwd_independent(self, tmp_path, monkeypatch):
+        """Resume from a DIFFERENT working directory after sketching with
+        relative input paths must still match (the manifest records
+        absolute resolved_names written in the original cwd; r2 advisor)."""
+        from hypergen_tpu.io.sketch_db import load_sharded_db
+
+        data = tmp_path / "data"
+        data.mkdir()
+        for i in range(2):
+            _write_genome(data / f"g{i}.fna", 4000, seed=80 + i)
+        out = tmp_path / "db.hgdb"
+        monkeypatch.chdir(tmp_path)
+        cli_main(["sketch", "-p", "data", "-o", str(out),
+                  "-s", "30", "-d", "1024"])
+        other = tmp_path / "elsewhere"
+        other.mkdir()
+        # decoy: a same-named relative dir in the NEW cwd must not match
+        (other / "data").mkdir()
+        monkeypatch.chdir(other)
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024", "--resume"])
+        db = load_sharded_db(out)
+        assert len(db.names) == 2  # nothing re-sketched, no duplicates
+
     def test_resume_param_mismatch_errors(self, tmp_path):
         data = tmp_path / "data"
         data.mkdir()

@@ -41,7 +41,7 @@ _WORKER = textwrap.dedent(
     q = db[:N].copy()
     qn = dbn[:N].copy()
     mesh = make_mesh(8, 1)
-    ani, idx = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
+    ani, idx, _dots = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
     assert ani.shape == (N, K) and idx.shape == (N, K)
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2), ani[:, 0]
     assert (idx[:, 0] == np.arange(N)).all(), idx[:, 0]
@@ -106,7 +106,7 @@ _WORKER_DB = textwrap.dedent(
     full = load_sharded_db(db_dir)  # test-only reference copy
     N, K = 6, 3
     q = full.hvs[:N].copy(); qn = full.norms[:N].copy()
-    ani, idx = multihost_topk_search(db_dir, q, qn, ksize=21, k_top=K)
+    ani, idx, _dots = multihost_topk_search(db_dir, q, qn, ksize=21, k_top=K)
     assert ani.shape == (N, K)
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2), ani[:, 0]
     assert (idx[:, 0] == np.arange(N)).all(), idx[:, 0]

@@ -34,7 +34,7 @@ def test_sharded_search_matches_single_device(mesh_shape):
     mesh = make_mesh(*mesh_shape)
     db_hv, db_norm = _mk_db(37)
     q_hv, q_norm = _mk_db(13)
-    ani, idx = sharded_topk_search(
+    ani, idx, _dots = sharded_topk_search(
         mesh, db_hv, db_norm, q_hv, q_norm, ksize=21, k_top=5
     )
     exp_vals, exp_idx = _reference_topk(db_hv, db_norm, q_hv, q_norm, 21, 5)
@@ -49,7 +49,7 @@ def test_sharded_search_matches_single_device(mesh_shape):
 def test_sharded_search_self_hits():
     mesh = make_mesh(4, 2)
     db_hv, db_norm = _mk_db(16)
-    ani, idx = sharded_topk_search(
+    ani, idx, _dots = sharded_topk_search(
         mesh, db_hv, db_norm, db_hv, db_norm, ksize=21, k_top=1
     )
     np.testing.assert_allclose(ani[:, 0], 100.0, atol=1e-3)
@@ -62,7 +62,7 @@ def test_sharded_search_k_larger_than_shard():
     mesh = make_mesh(8, 1)
     db_hv, db_norm = _mk_db(10)  # ~2 rows per shard, k=4 > shard size
     q_hv, q_norm = _mk_db(3)
-    ani, idx = sharded_topk_search(
+    ani, idx, _dots = sharded_topk_search(
         mesh, db_hv, db_norm, q_hv, q_norm, ksize=21, k_top=4
     )
     exp_vals, _ = _reference_topk(db_hv, db_norm, q_hv, q_norm, 21, 4)
@@ -110,7 +110,7 @@ def test_sharded_search_1k_db():
     q = db[rng.integers(0, M, size=N)].copy()
     qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
     mesh = make_mesh(4, 2)
-    ani, idx = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
+    ani, idx, _dots = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
     exp_ani, exp_idx = _reference_topk(db, dbn, q, qn, 21, K)
     np.testing.assert_allclose(ani, exp_ani, atol=2e-3)
     # self-hit (exact row copy) must rank first with ANI 100
@@ -127,7 +127,7 @@ def test_local_topk_search_tiled():
     dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
     q = db[rng.integers(0, M, size=N)].copy()
     qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
-    ani, idx = local_topk_search_tiled(
+    ani, idx, _dots = local_topk_search_tiled(
         db, dbn, q, qn, ksize=21, k_top=K, tile_m=128, use_mxu=False
     )
     exp_ani, _ = _reference_topk(db, dbn, q, qn, 21, K)
@@ -252,7 +252,7 @@ def test_sharded_topk_search_tiled():
     q = db[rng.integers(0, M, size=N)].copy()
     qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
     mesh = make_mesh(4, 2)
-    ani, idx = sharded_topk_search_tiled(
+    ani, idx, _dots = sharded_topk_search_tiled(
         mesh, db, dbn, q, qn, ksize=21, k_top=K, tile_m=128, use_mxu=False,
     )
     exp_ani, _ = _reference_topk(db, dbn, q, qn, 21, K)
@@ -282,7 +282,7 @@ def test_gtdb_scale_sharded_search():
     qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
 
     mesh = make_mesh(8, 1)
-    ani, idx = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
+    ani, idx, _dots = sharded_topk_search(mesh, db, dbn, q, qn, ksize=21, k_top=K)
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2)  # exact self rows
     # the planted near-duplicate must appear in the top-k
     for i in range(N):
