@@ -145,27 +145,78 @@ def bench_sketch(tmp: Path):
     return res
 
 
+# t1ha2 over u64-as-16-bit-limbs costs ~this many VPU vector ops per k-mer
+# position (mul128_const = 4x mul32x32_64 via 16-bit limbs + the
+# mixup64/final64 chain + rolling window upkeep; instruction-count analysis
+# recorded in CLAUDE.md r2, cross-checked by the measured issue-bound rate)
+T1HA2_VPU_OPS_PER_POSITION = 300
+
+# per-chip peak rates from public spec sheets; used ONLY to grade measured
+# numbers as a fraction of speed-of-light (BASELINE "speed-of-light" goal).
+# vpu_ops = 8 sublanes x 128 lanes x 4 ALUs x clock x cores (approximate —
+# public docs don't spell VPU issue width per generation; treat the SoL
+# fraction as order-of-magnitude honest, the measured ops/s as exact)
+CHIP_PEAKS = {
+    "TPU v4": {"int8_tops": 275.0, "vpu_ops_per_sec": 2 * 4096 * 1.05e9},
+    "TPU v5e": {"int8_tops": 394.0, "vpu_ops_per_sec": 4096 * 1.70e9},
+    "TPU v5 lite": {"int8_tops": 394.0, "vpu_ops_per_sec": 4096 * 1.70e9},
+    "TPU v5p": {"int8_tops": 918.0, "vpu_ops_per_sec": 2 * 4096 * 1.75e9},
+    "TPU v5": {"int8_tops": 918.0, "vpu_ops_per_sec": 2 * 4096 * 1.75e9},
+    "TPU v6e": {"int8_tops": 1836.0, "vpu_ops_per_sec": 4096 * 1.85e9},
+    "TPU v6 lite": {"int8_tops": 1836.0, "vpu_ops_per_sec": 4096 * 1.85e9},
+}
+
+
+def _chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for key, peaks in CHIP_PEAKS.items():
+        if kind.lower().startswith(key.lower()):
+            return kind, peaks
+    return kind, None
+
+
 def bench_device():
     """Tunnel-free device-only rates (chained-scan differencing).
 
-    Only the two BASELINE-graded stages run here (each chained program costs
-    ~40 s of remote executable load even when compile-cached); the hash
-    kernel and encode breakdowns live in scripts/profile_device_time.py and
-    scripts/profile_step_substages.py.
+    Each chained program costs ~40-90 s of remote executable load even
+    compile-cached, so only BASELINE-graded stages run here: the packed
+    step at NC=8 (bounded load time) and NC=32 (the tightest long-chain
+    production-shape number), the hash stage alone (VPU speed-of-light
+    numerator), and the search dot (MXU MFU numerator). Deeper breakdowns
+    live in scripts/profile_device_time.py / profile_packed_substages.py.
     """
     import profile_device_time as pdt
 
     out = {}
     # NC=8 (1 Mbp genomes) keeps the chained program's remote load time
     # bounded; device throughput is ~linear in bp, so Mbp/s is the portable
-    # number. The fused packed step is the production path (r2: 13.1 ms for
-    # 8 x 4.19 Mbp at NC=32 -> 2.56 Gbp/s; the unfused runs-path step it
-    # replaced measured 40.4 ms)
+    # number. The fused packed step is the production path.
     step = pdt.sketch_step_packed_device_time(NC=8)
     out["device_step_mbp_per_sec"] = step["mbp_per_s"]
     out["device_step_genomes4m_per_sec"] = step["mbp_per_s"] / 4.194
+    # tightest measurement: production shape (8 x 4.19 Mbp), long chains
+    # (R=4/20 differencing shrinks the relay noise band to well under 1 ms)
+    r1, r2 = pdt.R1, pdt.R2
+    try:
+        pdt.R1, pdt.R2 = 4, 20
+        step32 = pdt.sketch_step_packed_device_time(NC=32)
+        hash32 = pdt.packed_hash_stage_device_time(NC=32)
+    finally:
+        pdt.R1, pdt.R2 = r1, r2
+    out["device_step32_mbp_per_sec"] = step32["mbp_per_s"]
+    out["device_step32_genomes4m_per_sec"] = step32["mbp_per_s"] / 4.194
     dot = pdt.search_matmul_device_time()
     out["device_search_int8_tops"] = dot["int8_tops"]
+    # speed-of-light grading (BASELINE goal): measured / chip peak
+    kind, peaks = _chip_peaks()
+    vpu_ops = hash32["positions_per_s"] * T1HA2_VPU_OPS_PER_POSITION
+    out["device_chip_kind"] = kind
+    out["device_hash_vpu_ops_per_sec"] = vpu_ops
+    if peaks:
+        out["mfu_search_dot"] = dot["int8_tops"] / peaks["int8_tops"]
+        out["vpu_sol_fraction_hash"] = vpu_ops / peaks["vpu_ops_per_sec"]
     return out
 
 
@@ -291,9 +342,28 @@ def main():
                 2,
             ),
             "device_step_mbp_per_sec": round(dev["device_step_mbp_per_sec"], 0),
+            # tightest production-shape long-chain measurement (NC=32,
+            # R=4/20); the NC=8 number above is the conservative bounded-
+            # load-time variant — the ~10-15% gap between them is real
+            # (per-dispatch fixed work amortizes over 4x more bp at NC=32)
+            "device_step32_mbp_per_sec": round(
+                dev["device_step32_mbp_per_sec"], 0
+            ),
+            "device_step32_genomes4m_per_sec": round(
+                dev["device_step32_genomes4m_per_sec"], 1
+            ),
             "device_search_int8_tops": round(
                 dev["device_search_int8_tops"], 1
             ),
+            # BASELINE speed-of-light grading: measured / public chip peak
+            "device_chip_kind": dev["device_chip_kind"],
+            "mfu_search_dot": round(dev["mfu_search_dot"], 3)
+            if "mfu_search_dot" in dev else None,
+            "device_hash_vpu_ops_per_sec": round(
+                dev["device_hash_vpu_ops_per_sec"], 0
+            ),
+            "vpu_sol_fraction_hash": round(dev["vpu_sol_fraction_hash"], 3)
+            if "vpu_sol_fraction_hash" in dev else None,
             "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
             "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),
             "ani_dist85_pairs_per_sec": round(an["dist85_pairs_per_sec"], 0),

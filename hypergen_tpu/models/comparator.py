@@ -434,7 +434,7 @@ def write_ani_report(
     ani: np.ndarray,
     threshold: float,
     top_k: int = 0,
-    chunk_rows: int = 1 << 20,
+    chunk_rows: int = 1 << 19,
 ) -> int:
     """Streamed reference-exact TSV writer; returns n_reported.
 
@@ -451,15 +451,19 @@ def write_ani_report(
     n_keep = int(np.count_nonzero(ani >= np.float32(threshold)))
     if top_k:
         n_keep = min(n_keep, top_k)
+    # vectorized row assembly: np.char printf-formats the float32 through
+    # the same C '%.3f' double path as an f-string, so bytes are identical
+    # to the scalar formatter at ~10x the rows/s (pinned in test_report)
+    names_r = np.char.add(np.asarray(ref_names, dtype=np.str_), "\t")
+    names_q = np.char.add(np.asarray(query_names, dtype=np.str_), "\t")
     with open(out_path, "w") as fh:
         for lo in range(0, n_keep, chunk_rows):
             sel = order[lo : min(lo + chunk_rows, n_keep)]
-            fh.write(
-                "".join(
-                    f"{ref_names[int(i)]}\t{query_names[int(j)]}\t{a:.3f}\n"
-                    for i, j, a in zip(ref_idx[sel], query_idx[sel], ani[sel])
-                )
+            rows = np.char.add(
+                np.char.add(names_r[ref_idx[sel]], names_q[query_idx[sel]]),
+                np.char.add(np.char.mod("%.3f", ani[sel]), "\n"),
             )
+            fh.write("".join(rows.tolist()))
     return n_keep
 
 

@@ -303,14 +303,24 @@ def make_sketch_step(
                 jnp.sum(sorted_h.lo.astype(jnp.int32))
                 + jnp.sum(unique.astype(jnp.int32))
             )
+        occ = jnp.zeros((batch,), jnp.int32)
         if validity == "packed":
-            # encode straight over the sorted array with the unique mask:
-            # bundling is commutative and padding is masked, so compaction
-            # buys nothing here — and compact_masked's per-element scatter
-            # costs more device time than the ~2.5x longer encode sweep.
-            # enc_cap overflow is structurally impossible on this path.
-            n_hashes = jnp.sum(unique.astype(jnp.int32), axis=-1)
-            hv32 = encode_hv(sorted_h, unique, hv_d, block=encode_block)
+            # encode over a PREFIX of the sorted array with the unique mask:
+            # ascending sort pushes every U64_MAX sentinel past the real
+            # survivors, so the first min(enc_cap, N) entries hold ALL
+            # occurrences whenever occ <= enc_cap (checked exactly via the
+            # occ meta column; the retry ladder grows enc_cap otherwise).
+            # Bundling is commutative and padding is masked, so this is
+            # bit-identical to the full sweep at ~2.5x less encode work —
+            # and still avoids compact_masked's per-element scatter, which
+            # costs more device time than the prefix sweep saves.
+            is_sent = (sorted_h.hi == _SENT) & (sorted_h.lo == _SENT)
+            occ = jnp.sum((~is_sent).astype(jnp.int32), axis=-1)
+            E = min(enc_cap, sorted_h.hi.shape[-1])
+            sh = U64(sorted_h.hi[:, :E], sorted_h.lo[:, :E])
+            un = unique[:, :E]
+            n_hashes = jnp.sum(un.astype(jnp.int32), axis=-1)
+            hv32 = encode_hv(sh, un, hv_d, block=encode_block)
         else:
             enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)
             valid = (
@@ -320,7 +330,7 @@ def make_sketch_step(
             hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
         hv16 = hv_to_i16(hv32)
         norm2 = hv_norm2_i32(hv16)
-        # single fused output [B, D+8] i16: every output buffer is a
+        # single fused output [B, D+10] i16: every output buffer is a
         # separate (expensive) D2H round trip through the TPU relay, so the
         # meta ints ride along bitcast into the hv row tail
         if max_count.ndim == 0:
@@ -328,10 +338,10 @@ def make_sketch_step(
         elif max_count.ndim > 1:  # per-block counts: reduce to per-genome
             max_count = jnp.max(max_count, axis=-1)
         meta = jnp.stack(
-            [norm2, n_hashes, max_count, extra_count], axis=-1
+            [norm2, n_hashes, max_count, extra_count, occ], axis=-1
         )
         meta16 = jax.lax.bitcast_convert_type(meta, jnp.int16).reshape(
-            meta.shape[0], 8
+            meta.shape[0], 10
         )
         return jnp.concatenate([hv16, meta16], axis=-1)
 
@@ -455,14 +465,16 @@ def make_sketch_step(
 
 
 def split_step_output(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Fused [B, D+8] i16 step output -> (hv i16 [B, D], meta i32 [B, 4]).
+    """Fused [B, D+10] i16 step output -> (hv i16 [B, D], meta i32 [B, 5]).
 
     meta columns: 0 norm2, 1 n_hashes, 2 max survivor count, 3 max
-    block-extract count (packed path) / 0 otherwise.
+    block-extract count (packed path), 4 total survivor occurrences
+    (packed path: checked against enc_cap since the encode sweeps only the
+    sorted prefix) / 0 otherwise.
     """
     out = np.asarray(out)
-    hv = out[:, :-8]
-    meta = np.ascontiguousarray(out[:, -8:]).view(np.int32)
+    hv = out[:, :-10]
+    meta = np.ascontiguousarray(out[:, -10:]).view(np.int32)
     return hv, meta
 
 
@@ -694,22 +706,28 @@ class Sketcher:
         lsub = self.C // cells if cells else 0
 
         def counts():
-            # meta cols: 0 norm2, 1 n_hashes, 2 slot/cell max, 3 be max
+            # meta cols: 0 norm2, 1 n_hashes, 2 slot/cell max, 3 be max,
+            # 4 occurrence count (packed)
             return (
                 int(np.max(meta[:n, 2])) if n else 0,
                 int(np.max(meta[:n, 3])) if n else 0,
                 meta[:n, 1],
+                int(np.max(meta[:n, 4])) if n else 0,
             )
 
         chunk_cap, be_cap, enc_cap = (
             handle["cap"], handle["be_cap"], handle["enc_cap"]
         )
         for attempt in range(7):
-            max_count, be_max, n_hashes = counts()
-            # packed encodes the uncompacted sorted array: no enc_cap bound
+            max_count, be_max, n_hashes, occ_max = counts()
+            # packed encodes a sorted-array prefix of enc_cap entries: the
+            # bound is on total occurrences, not unique hashes
             ok = (
                 max_count <= chunk_cap
-                and (mode == "packed" or int(n_hashes.max(initial=0)) <= enc_cap)
+                and (
+                    occ_max <= enc_cap if mode == "packed"
+                    else int(n_hashes.max(initial=0)) <= enc_cap
+                )
                 and (mode != "packed" or be_max <= be_cap)
             )
             if ok:
@@ -738,10 +756,14 @@ class Sketcher:
                     be_max, be_cap,
                 )
                 be_cap = min(be_cap * 2, 512)
-            if mode != "packed" and int(n_hashes.max(initial=0)) > enc_cap:
+            enc_over = (
+                occ_max if mode == "packed"
+                else int(n_hashes.max(initial=0))
+            )
+            if enc_over > enc_cap:
                 log.warning(
                     "encode cap overflow (%d > %d); retrying",
-                    int(n_hashes.max(initial=0)), enc_cap,
+                    enc_over, enc_cap,
                 )
                 self._enc_overflow_factor *= 2
             step, chunk_cap, enc_cap, be_cap = self._get_step(

@@ -344,19 +344,35 @@ def hash_packed_rows_pallas(
             f"packed row too short: {W} words < {n_chunks * iw + T_w - lw}"
         )
 
-    # word relayout: chunk i, cell c reads words [i*iw + c*lw, +T_w).
-    # cw[:, i, d, c] = words[:, i*iw + c*lw + d] — for fixed d this is a
-    # stride-lw slice, which XLA lowers natively (a general gather of
-    # nc*T_w*cells indices does not)
-    planes = []
-    for d in range(T_w):
-        sl = jax.lax.slice(
-            packed_words,
-            (0, d),
-            (B, d + (n_chunks - 1) * iw + (cells - 1) * lw + 1),
-            (1, lw),
-        )  # exactly nc*cells words: starts d + m*lw for m in [0, nc*cells)
-        planes.append(sl.reshape(B, n_chunks, cells))
+    # word relayout: chunk i, cell c reads words [i*iw + c*lw, +T_w), i.e.
+    # cw[:, i, d, c] = words[:, i*iw + c*lw + d]. Planes d < lw are ONE
+    # XLA transpose [nc, cells, lw] -> [nc, lw, cells]; halo planes
+    # d >= lw equal plane d-lw of cell c+1, i.e. the flat plane shifted by
+    # one cell (a concat-slice), with the final cell fed from the slack
+    # words past the last chunk. Measured 0.17 ms vs 1.1-2.1 ms for the r2
+    # T_w-stride-lw-slice formulation (scripts/profile_relayout.py) —
+    # strided slices lower near-scalar on TPU, transposes tile well.
+    base = packed_words[:, : n_chunks * iw].reshape(B, n_chunks, cells, lw)
+    P = jnp.transpose(base, (0, 1, 3, 2))  # [B, nc, lw, cells]
+    planes = [P[:, :, d] for d in range(min(lw, T_w))]
+    if T_w > lw:
+        flat = jnp.transpose(base, (0, 3, 1, 2)).reshape(
+            B, lw, n_chunks * cells
+        )
+        for d in range(lw, T_w):
+            # plane d == flat plane (d % lw) shifted by d // lw cells;
+            # the final cells wrap into the slack words past the chunks
+            s_cells, rem = divmod(d, lw)
+            tail = jax.lax.slice(
+                packed_words,
+                (0, n_chunks * iw + rem),
+                (B, n_chunks * iw + rem + (s_cells - 1) * lw + 1),
+                (1, lw),
+            )  # s_cells slack words nc*iw + j*lw + rem
+            shifted = jnp.concatenate(
+                [flat[:, rem, s_cells:], tail], axis=1
+            )
+            planes.append(shifted.reshape(B, n_chunks, cells))
     cw = jnp.stack(planes, axis=2)  # [B, nc, T_w, cells]
     cw = cw.reshape(B * n_chunks, T_w, sub, 128)
     pos_end = jnp.clip(

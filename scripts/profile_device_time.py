@@ -177,6 +177,53 @@ def sketch_step_packed_device_time(NC: int = NC):
             "mbp_per_s": bp / dt / 1e6}
 
 
+def packed_hash_stage_device_time(NC: int = NC):
+    """Device time of the packed step's hash stage alone (relayout +
+    fused Pallas kernel, via the probe hook) — the VPU speed-of-light
+    numerator: the kernel is issue-bound at ~T1HA2_VPU_OPS_PER_POSITION
+    u64-emulation vector ops per k-mer position."""
+    from hypergen_tpu.models.sketcher import (
+        make_sketch_step, packed_be_cap_default, packed_row_words,
+    )
+    from hypergen_tpu.params import SketchParams, fracminhash_threshold
+
+    p = SketchParams()
+    enc_cap = -(-(3 * (NC * C // SCALED) + 512) // 256) * 256
+    be_cap = packed_be_cap_default(C, SCALED)
+    step = make_sketch_step(
+        ksize=K, seed=p.seed, threshold=fracminhash_threshold(SCALED),
+        hv_d=D, batch=B, n_chunks=NC, chunk_positions=C, chunk_cap=4,
+        enc_cap=enc_cap, encode_block=512, extract_block=512,
+        use_pallas=True, validity="packed", jit_compile=False,
+        packed_be_cap=be_cap, probe="hash",
+    )
+    W = packed_row_words(NC, C)
+    runs = np.full((B, 512, 2), np.int32(0x7FFFFFFF), np.int32)
+    n_pos = np.full(B, NC * C, np.int32)
+
+    def make_fn(R):
+        def chained(seeds):
+            runs_c = jnp.asarray(runs)
+            n_pos_c = jnp.asarray(n_pos)
+
+            def body(carry, seed):
+                p2w = _rand_u32(seed, (B, W))
+                out = step(p2w, runs_c, n_pos_c)
+                return carry + jnp.sum(out.astype(jnp.int32)), None
+
+            tot, _ = jax.lax.scan(body, jnp.int32(0), seeds)
+            return tot
+
+        return chained
+
+    dt, t1, t2 = _per_iter(make_fn, "phs")
+    bp = B * NC * C
+    print(f"packed hash stage: {dt*1e3:.1f} ms "
+          f"(t{R1}={t1:.3f}s t{R2}={t2:.3f}s) -> {bp/dt/1e6:.0f} Mbp/s")
+    return {"hash_ms": dt * 1e3, "mbp_per_s": bp / dt / 1e6,
+            "positions_per_s": bp / dt}
+
+
 def hash_kernel_device_time():
     from hypergen_tpu.ops.pallas.hash_kernel import hash_chunks_pallas
     from hypergen_tpu.params import fracminhash_threshold
