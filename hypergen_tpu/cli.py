@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     sk = sub.add_parser(P.CMD_SKETCH, help="sketch genome FASTA files")
     sk.add_argument("-p", "--path", type=Path, required=True,
                     help="input folder to sketch")
+    # the reference's sketch subcommand parses -r/-q too (unused there,
+    # reference:src/utils.rs:48-53); accept them so scripts port verbatim
+    sk.add_argument("-r", "--path_r", type=Path, default=None,
+                    help="(compat) unused in sketch mode")
+    sk.add_argument("-q", "--path_q", type=Path, default=None,
+                    help="(compat) unused in sketch mode")
     sk.add_argument("-o", "--out", type=Path, required=True,
                     help="output sketch file (.sketch) or DB dir (.hgdb)")
     sk.add_argument("-m", "--sketch_method", type=str, default="t1ha2",
@@ -475,7 +481,8 @@ def _run_dist_pod(dp: DistParams, if_sym: bool, t0: float) -> None:
     ri, qi, ani = ri[order], qi[order], ani[order]
     del order
     n_rep = write_ani_report(
-        out, r_names, q_names, ri, qi, ani, dp.ani_threshold
+        out, r_names, q_names, ri, qi, ani, dp.ani_threshold,
+        top_k=dp.top_k,
     )
     for p in parts:
         p.unlink(missing_ok=True)

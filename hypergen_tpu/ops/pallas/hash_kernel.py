@@ -162,7 +162,8 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
 
 def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
                            slot_pos_ref, cnt_ref, state_ref, *, ksize, seed,
-                           threshold, canonical, method, lsub, sub, cap):
+                           threshold, canonical, method, lsub, sub, cap,
+                           unroll=1):
     """Fully-fused sketch front half: packed 2-bit words in, survivor slots out.
 
     Differences from _rolling_kernel (the codes-in/hashes-out variant):
@@ -212,13 +213,12 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
         + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
     ) * lsub
 
-    def body(t, _):
-        # state rows: 0-1 f2 (hi, lo), 2-3 r2 (hi, lo),
-        # 4..4+n_u32 fwd ASCII words, then n_u32 rc ASCII words
-        f2 = U64(state_ref[0], state_ref[1])
-        r2 = U64(state_ref[2], state_ref[3])
-        fw = [state_ref[4 + q] for q in range(n_u32)]
-        rw = [state_ref[4 + n_u32 + q] for q in range(n_u32)]
+    def advance(st, t):
+        """One rolling-window step: st = (f2, r2, fw, rw) locals -> (st, h).
+
+        Pure in locals so the loop body can unroll several positions per
+        fori_loop iteration, amortizing the VMEM state load/store."""
+        f2, r2, fw, rw = st
         w = words_ref[0, t // 16]
         shift = (np.uint32(2) * (t % 16).astype(jnp.uint32))
         cb = (w >> shift) & np.uint32(3)
@@ -268,7 +268,9 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
         else:
             key = u.select(is_rc, r2, f2) if canonical else f2
             h = mm_hash64(key)
+        return (f2, r2, fw, rw), h
 
+    def emit(h, t):
         @pl.when(t >= k - 1)
         def _():
             pos = cell_base + (t - (k - 1))
@@ -281,22 +283,50 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
                 slot_pos_ref[0, s] = jnp.where(put, pos, slot_pos_ref[0, s])
             cnt_ref[0, 0] = cnt + keep.astype(jnp.int32)
 
+    def load_state():
+        # state rows: 0-1 f2 (hi, lo), 2-3 r2 (hi, lo),
+        # 4..4+n_u32 fwd ASCII words, then n_u32 rc ASCII words
+        return (
+            U64(state_ref[0], state_ref[1]),
+            U64(state_ref[2], state_ref[3]),
+            [state_ref[4 + q] for q in range(n_u32)],
+            [state_ref[4 + n_u32 + q] for q in range(n_u32)],
+        )
+
+    def store_state(st):
+        f2, r2, fw, rw = st
         state_ref[0], state_ref[1] = f2.hi, f2.lo
         state_ref[2], state_ref[3] = r2.hi, r2.lo
         if method == "t1ha2":
             for q in range(n_u32):
                 state_ref[4 + q] = fw[q]
                 state_ref[4 + n_u32 + q] = rw[q]
+
+    def body(i, _):
+        st = load_state()
+        for j in range(unroll):
+            t = i * unroll + j
+            st, h = advance(st, t)
+            emit(h, t)
+        store_state(st)
         return None
 
-    jax.lax.fori_loop(0, T, body, None)
+    jax.lax.fori_loop(0, T // unroll, body, None)
+    # tail for T % unroll steps (t wrapped so advance/emit see traced ints)
+    if T % unroll:
+        st = load_state()
+        for t in range(T - T % unroll, T):
+            tt = jnp.asarray(t, jnp.int32)
+            st, h = advance(st, tt)
+            emit(h, tt)
+        store_state(st)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "chunk_positions", "ksize", "seed",
                      "threshold", "canonical", "method", "interpret", "cells",
-                     "cap"),
+                     "cap", "unroll"),
 )
 def hash_packed_rows_pallas(
     packed_words: jnp.ndarray,
@@ -311,6 +341,7 @@ def hash_packed_rows_pallas(
     interpret: bool = False,
     cells: int = CELLS,
     cap: int = 4,
+    unroll: int = 1,
 ):
     """Fused front half of the sketch step straight from packed rows.
 
@@ -383,7 +414,7 @@ def hash_packed_rows_pallas(
     kern = functools.partial(
         _rolling_packed_kernel,
         ksize=ksize, seed=seed, threshold=threshold, canonical=canonical,
-        method=method, lsub=lsub, sub=sub, cap=cap,
+        method=method, lsub=lsub, sub=sub, cap=cap, unroll=unroll,
     )
     BN = B * n_chunks
     slot_hi, slot_lo, slot_pos, cnt = pl.pallas_call(
