@@ -341,7 +341,7 @@ def hash_packed_rows_pallas(
     interpret: bool = False,
     cells: int = CELLS,
     cap: int = 4,
-    unroll: int = 1,
+    unroll: int = 0,
 ):
     """Fused front half of the sketch step straight from packed rows.
 
@@ -357,6 +357,16 @@ def hash_packed_rows_pallas(
     valid: bool [B, S], cell_max: i32 [B]) with S = n_chunks*cells*cap.
     Empty slots carry the U64_MAX sentinel / pos -1. cell_max > cap means
     slot overflow: retry with a larger cap (exactness is never traded).
+
+    unroll: positions hashed per fori_loop trip (0 = auto). Pure scheduling
+    — outputs are bit-identical for every value (pinned in
+    tests/test_pallas_kernel.py). Unrolling keeps the ~16 VMEM rolling-state
+    rows in registers across `unroll` positions; measured on chip at the
+    production shape (T=52, scripts/profile_kernel_unroll.py, r3):
+    1 -> 8.0 ms, 4 -> 7.29, 13 -> 6.94, 26 -> 7.06 per B=8 x 4.19 Mbp batch,
+    so auto picks the largest divisor of T up to 16 (13 at T=52) and falls
+    back to 13-with-tail when T is nearly prime. Auto resolves to 1 under
+    interpret=True (no VMEM to amortize; the fatter trace just slows tests).
     """
     B, W = packed_words.shape
     C = chunk_positions
@@ -368,6 +378,16 @@ def hash_packed_rows_pallas(
         )
     sub = cells // 128
     lsub = C // cells
+    if unroll == 0:
+        if interpret:
+            unroll = 1  # interpret mode (tests) gains nothing, traces 2x slower
+        else:
+            T = lsub + ksize - 1
+            unroll = max(
+                (d for d in range(1, 17) if T % d == 0), default=1
+            )
+            if unroll < 4:  # nearly-prime T: deep unroll + tail still wins
+                unroll = min(13, T)
     T_w = -(-(lsub + ksize - 1) // 16)
     iw, lw = C // 16, lsub // 16
     if W < n_chunks * iw + T_w - lw:

@@ -139,6 +139,31 @@ def test_packed_kernel_parity():
         assert set(hv[keep].tolist()) == want
 
 
+@pytest.mark.parametrize("unroll", [4, 13])
+def test_packed_kernel_unroll_bit_identical(unroll):
+    """Loop unrolling is a pure scheduling change: every output array must be
+    bit-identical to unroll=1, including the fori_loop tail when
+    T % unroll != 0 (here T=36, so 13 exercises a 10-position tail and 4 a
+    full-trip count with no tail)."""
+    from hypergen_tpu.ops.pallas.hash_kernel import hash_packed_rows_pallas
+
+    k, seed, thr = 21, 123, fracminhash_threshold(3)
+    C, nc, cells, cap = 2048, 1, 128, 16
+    codes = rng.integers(0, 4, size=nc * C + k - 1).astype(np.uint8)
+    codes[900:950] = 4
+    p2w, _, npos = _packed_inputs([codes], nc, C, k)
+    outs = []
+    for ur in (1, unroll):
+        h, pos, valid, cell_max = hash_packed_rows_pallas(
+            jnp.asarray(p2w), jnp.asarray(npos), nc, C, k, seed, thr,
+            interpret=True, cells=cells, cap=cap, unroll=ur,
+        )
+        outs.append((np.asarray(h.hi), np.asarray(h.lo), np.asarray(pos),
+                     np.asarray(valid), np.asarray(cell_max)))
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("method,canonical", [("mmhash", True), ("t1ha2", False)])
 def test_packed_kernel_parity_variants(method, canonical):
     from hypergen_tpu.ops.pallas.hash_kernel import hash_packed_rows_pallas
