@@ -56,7 +56,10 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("-a", "--ani_th", type=float, default=85.0,
                     help="ANI report threshold")
     sp.add_argument("-D", "--device", type=str, default="tpu",
-                    help="device backend (tpu/cpu)")
+                    choices=["tpu", "cpu"],
+                    help="device backend: 'tpu' uses the default accelerator "
+                         "platform; 'cpu' forces the JAX CPU backend (e.g. no "
+                         "accelerator attached, or the TPU relay is down)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -542,6 +545,13 @@ def main(argv=None) -> None:
     setup_logging()
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "device", "tpu") == "cpu":
+        # must land before the first backend touch; the env var alone is
+        # overridden by site customization in some deployments, so use the
+        # config API (see CLAUDE.md environment notes)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     with maybe_profile(os.environ.get("HG_TRACE_DIR", "")):
         if args.mode == P.CMD_SKETCH:
             run_sketch(args)

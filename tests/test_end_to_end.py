@@ -118,9 +118,11 @@ class TestCliFlows:
     def test_sketch_dist_cli(self, tmp_path):
         data = self._mk_dataset(tmp_path / "data")
         out_sketch = tmp_path / "db.sketch"
+        # -D cpu exercises the forced-CPU backend path (a no-op here since
+        # conftest already pins CPU, but it keeps the flag wired end-to-end)
         cli_main([
             "sketch", "-p", str(data), "-o", str(out_sketch),
-            "-s", "30", "-d", "1024",
+            "-s", "30", "-d", "1024", "-D", "cpu",
         ])
         sketches = load_sketch(out_sketch)
         assert len(sketches) == 4
