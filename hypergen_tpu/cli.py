@@ -513,21 +513,12 @@ def run_search(args) -> None:
 
 
 def run_hist(args) -> None:
-    from hypergen_tpu.io.sketch_db import hv_value_histogram, load_sketch
+    from hypergen_tpu.io.sketch_db import (
+        hv_value_histogram, hv_value_histogram_sharded, load_sketch,
+    )
 
-    if args.path_r.is_dir():  # .hgdb: histogram shard by shard (memory-
-        # mapped), so a GTDB-scale DB never fully materializes on host
-        import json
-
-        manifest = json.loads(
-            (args.path_r / "manifest.json").read_text()
-        )
-        hist: dict = {}
-        for sh in manifest["shards"]:
-            hvs = np.load(args.path_r / sh["hv"], mmap_mode="r")
-            vals, counts = np.unique(hvs, return_counts=True)
-            for v, c in zip(vals.tolist(), counts.tolist()):
-                hist[v] = hist.get(v, 0) + c
+    if args.path_r.is_dir():
+        hist = hv_value_histogram_sharded(args.path_r)
     else:
         hist = hv_value_histogram(load_sketch(args.path_r))
     try:

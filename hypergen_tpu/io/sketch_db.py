@@ -175,11 +175,17 @@ def append_db_shard(out_dir, db: "ShardedDB") -> None:
         }
     )
     manifest["names"] = manifest["names"] + list(db.names)
-    # keep resolved_names aligned (backfill a pre-field manifest's prefix
-    # from its names; best effort — those resolve in the current cwd)
+    # keep resolved_names aligned. Backfilling a pre-field manifest's prefix
+    # must NOT freeze this run's cwd as authoritative (resuming once from
+    # the wrong directory would permanently poison future resumes): keep
+    # relative names verbatim so they stay resolved at READ time, exactly
+    # like the pre-field behavior; only already-absolute paths normalize.
     manifest["resolved_names"] = (
         manifest.get("resolved_names")
-        or _resolve_names(manifest["names"][: row])
+        or [
+            str(Path(n).resolve()) if Path(n).is_absolute() else n
+            for n in manifest["names"][: row]
+        ]
     ) + _resolve_names(db.names)
     manifest["n_genomes"] = row + len(db.names)
     tmp = out / "manifest.json.tmp"
@@ -299,6 +305,20 @@ def hv_value_histogram(sketches: List[FileSketch]) -> dict:
     hist: dict = {}
     for s in sketches:
         vals, counts = np.unique(s.decompress(), return_counts=True)
+        for v, c in zip(vals.tolist(), counts.tolist()):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+    return hist
+
+
+def hv_value_histogram_sharded(db_dir) -> dict:
+    """value -> count histogram over an .hgdb, one memory-mapped shard at a
+    time — a GTDB-scale DB never fully materializes on host."""
+    db_dir = Path(db_dir)
+    manifest = json.loads((db_dir / "manifest.json").read_text())
+    hist: dict = {}
+    for sh in manifest["shards"]:
+        hvs = np.load(db_dir / sh["hv"], mmap_mode="r")
+        vals, counts = np.unique(hvs, return_counts=True)
         for v, c in zip(vals.tolist(), counts.tolist()):
             hist[int(v)] = hist.get(int(v), 0) + int(c)
     return hist
@@ -466,8 +486,12 @@ def wait_for_part_files(
     Default is to wait with no *total* ceiling (peer hosts of a pod run can
     lag hours behind on large workloads; a short timeout would discard the
     whole run's compute), but fail on *stall*: if no new part appears for
-    stall_s (HG_PART_STALL_S, default 4 h) a peer host has almost certainly
-    crashed and the merge raises instead of hanging unattended forever.
+    stall_s (HG_PART_STALL_S, default 24 h) a peer host has almost certainly
+    crashed and the merge raises instead of hanging unattended forever. The
+    default is deliberately far beyond any legitimate single-part gap — a
+    merge waiting on ONE part has no progress events to reset the clock, so
+    a tight default would abort healthy long-tail runs; tune HG_PART_STALL_S
+    down for fail-fast behavior on small workloads.
     Missing parts are logged every 60 s so a stuck merge stays visible.
     Set HG_PART_TIMEOUT_S (or pass timeout_s) to also bound total wait.
     """
@@ -480,7 +504,7 @@ def wait_for_part_files(
         timeout_s = float(env) if env else float("inf")
     if stall_s is None:
         env = _os.environ.get("HG_PART_STALL_S", "")
-        stall_s = float(env) if env else 4 * 3600.0
+        stall_s = float(env) if env else 24 * 3600.0
     log_ = _logging.getLogger("hypergen")
     start = _time.monotonic()
     next_report = start + 60.0

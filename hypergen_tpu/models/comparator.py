@@ -408,8 +408,16 @@ def format_ani_report(
     by ANI then reversed, rows emitted while ani >= threshold, '%.3f'.
     Returns (tsv_string, n_reported). top_k > 0 additionally caps the rows
     (search mode).
+
+    NaN ANIs are dropped up front (deliberate divergence: the reference's
+    f32 partial_cmp sort panics on NaN input, and an unfiltered argsort
+    would place NaN first in descending order, truncating every real row
+    at the early-break). Current callers pre-filter, so this is a
+    robustness backstop, not an observable behavior change.
     """
-    order = np.argsort(ani, kind="stable")[::-1]
+    ani = np.asarray(ani)
+    kept = np.flatnonzero(~np.isnan(ani))
+    order = kept[np.argsort(ani[kept], kind="stable")[::-1]]
     lines = []
     thr = np.float32(threshold)
     for idx in order:
@@ -445,10 +453,14 @@ def write_ani_report(
     extra host memory beyond the index/ANI arrays themselves.
     """
     ani = np.asarray(ani)
-    order = np.argsort(ani, kind="stable")[::-1]
-    # rows emitted = exactly those with ani >= threshold (sorted desc, so
-    # the reference's early break keeps a prefix), optionally top_k-capped
-    n_keep = int(np.count_nonzero(ani >= np.float32(threshold)))
+    # filter to surviving rows BEFORE sorting: ani >= threshold is False for
+    # NaN, which an argsort over the full array would instead place first in
+    # descending order (displacing real top rows); restricting a stable sort
+    # to a subsequence preserves the relative order of ties, so the emitted
+    # bytes are identical to the full-sort-then-break formatter
+    kept = np.flatnonzero(ani >= np.float32(threshold))
+    order = kept[np.argsort(ani[kept], kind="stable")[::-1]]
+    n_keep = kept.size
     if top_k:
         n_keep = min(n_keep, top_k)
     # vectorized row assembly: np.char printf-formats the float32 through

@@ -310,6 +310,47 @@ class TestResume:
         db = load_sharded_db(out)
         assert len(db.names) == 2  # nothing re-sketched, no duplicates
 
+    def test_resume_prefield_backfill_stays_relative(self, tmp_path,
+                                                     monkeypatch):
+        """Backfilling resolved_names into a pre-field manifest must keep
+        relative names relative (resolved at READ time), not freeze the
+        resume run's cwd as authoritative — a one-time wrong-cwd resume
+        would otherwise permanently poison every future resume."""
+        import json
+
+        from hypergen_tpu.io.sketch_db import load_sharded_db
+
+        data = tmp_path / "data"
+        data.mkdir()
+        for i in range(2):
+            _write_genome(data / f"g{i}.fna", 4000, seed=90 + i)
+        out = tmp_path / "db.hgdb"
+        monkeypatch.chdir(tmp_path)
+        cli_main(["sketch", "-p", "data", "-o", str(out),
+                  "-s", "30", "-d", "1024"])
+        # simulate a pre-resolved_names manifest
+        mpath = out / "manifest.json"
+        manifest = json.loads(mpath.read_text())
+        del manifest["resolved_names"]
+        mpath.write_text(json.dumps(manifest))
+        # resume from the WRONG cwd with one extra genome: old relative
+        # names must remain relative in the backfilled manifest
+        other = tmp_path / "elsewhere"
+        other.mkdir()
+        _write_genome(data / "g2.fna", 4000, seed=92)
+        monkeypatch.chdir(other)
+        cli_main(["sketch", "-p", str(data), "-o", str(out),
+                  "-s", "30", "-d", "1024", "--resume"])
+        backfilled = json.loads(mpath.read_text())["resolved_names"]
+        assert backfilled[:2] == manifest["names"][:2]  # still relative
+        # the wrong-cwd resume itself re-sketched (can't match: 2+3 rows) —
+        # but a resume from the ORIGINAL cwd must now match every row and
+        # append nothing, which the frozen-cwd backfill would break
+        monkeypatch.chdir(tmp_path)
+        cli_main(["sketch", "-p", "data", "-o", str(out),
+                  "-s", "30", "-d", "1024", "--resume"])
+        assert len(load_sharded_db(out).names) == 5
+
     def test_resume_param_mismatch_errors(self, tmp_path):
         data = tmp_path / "data"
         data.mkdir()

@@ -31,6 +31,20 @@ class TestWriteAniReport:
         assert got_n == exp_n
         assert out.read_text() == exp_tsv
 
+    def test_nan_rows_excluded(self, tmp_path):
+        """NaN ANIs (e.g. zero-norm HVs upstream of any pre-filter) must be
+        dropped, not sorted to the front of the descending order where they
+        would displace the real top rows."""
+        names = ["a", "b", "c", "d"]
+        idx = np.arange(4)
+        ani = np.asarray([99.0, np.nan, 97.0, np.nan], np.float32)
+        exp_tsv, exp_n = format_ani_report(names, names, idx, idx, ani, 85.0)
+        out = tmp_path / "out.tsv"
+        got_n = write_ani_report(out, names, names, idx, idx, ani, 85.0)
+        assert got_n == exp_n == 2
+        assert out.read_text() == exp_tsv
+        assert "nan" not in out.read_text()
+
     def test_empty(self, tmp_path):
         out = tmp_path / "out.tsv"
         n = write_ani_report(
