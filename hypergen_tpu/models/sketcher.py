@@ -547,8 +547,14 @@ class Sketcher:
     # -- device step management ------------------------------------------
 
     def _enc_cap(self, n_chunks: int) -> int:
+        # occ ~ Binomial(n_pos, 1/scaled) plus repeat-kmer occurrence
+        # duplicates: 2x mean + 512 is mean + (mean+512) of slack — far past
+        # any Gaussian tail and ~2x occurrence duplication — while the
+        # packed path's encode sweep cost is proportional to this cap
+        # (it encodes the sorted-array prefix). The exact occ check + retry
+        # ladder makes an undersized cap a recompile, never wrong output.
         expected = n_chunks * self.C // max(self.params.scaled, 1)
-        cap = 3 * expected + 512
+        cap = 2 * expected + 512
         cap *= self._enc_overflow_factor
         return int(-(-cap // 256) * 256)
 
