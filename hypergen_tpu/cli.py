@@ -543,6 +543,12 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host (pod) init, env-opt-in — must precede the first backend
+    # touch; without it jax.process_count() stays 1 on every host and the
+    # pod branches below silently degrade to N independent full runs
+    from hypergen_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     with maybe_profile(os.environ.get("HG_TRACE_DIR", "")):
         if args.mode == P.CMD_SKETCH:
             run_sketch(args)

@@ -41,8 +41,7 @@ def make_mesh(
 
 def init_distributed(coordinator: str = "", num_processes: int = 0,
                      process_id: int = 0) -> None:
-    """Multi-host init (no-op when unconfigured). On TPU pods, environment
-    auto-detection usually suffices and explicit args may be empty."""
+    """Explicit multi-host init (no-op when num_processes <= 1)."""
     if num_processes and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator or None,
@@ -53,6 +52,34 @@ def init_distributed(coordinator: str = "", num_processes: int = 0,
             "jax.distributed initialized: process %d/%d, %d local / %d global devices",
             process_id, num_processes,
             jax.local_device_count(), jax.device_count(),
+        )
+
+
+def maybe_init_distributed() -> None:
+    """Env-driven multi-host init for the CLI entry point.
+
+    Every pod branch in the CLI gates on jax.process_count() > 1, which is
+    only ever true after jax.distributed.initialize — someone must CALL it,
+    so the CLI invokes this before the first backend touch. Opt-in:
+
+      HG_NUM_PROCESSES=N HG_PROCESS_ID=i HG_COORDINATOR=host:port  explicit
+      HG_DIST=1   jax.distributed.initialize() environment auto-detection
+                  (TPU pod launchers set the required variables)
+
+    No-op otherwise: single-host runs must not pay a coordinator wait."""
+    import os
+
+    n = int(os.environ.get("HG_NUM_PROCESSES", "0") or 0)
+    if n > 1:
+        init_distributed(
+            os.environ.get("HG_COORDINATOR", ""), n,
+            int(os.environ.get("HG_PROCESS_ID", "0") or 0),
+        )
+    elif os.environ.get("HG_DIST", "").lower() in ("1", "auto", "true"):
+        jax.distributed.initialize()
+        log.info(
+            "jax.distributed auto-initialized: process %d/%d",
+            jax.process_index(), jax.process_count(),
         )
 
 
@@ -68,6 +95,9 @@ def shared_run_token() -> str:
         return os.urandom(8).hex()
     from jax.experimental import multihost_utils
 
-    local = np.frombuffer(os.urandom(8), dtype=np.uint64).copy()
+    # two u32 words, NOT one u64: with jax x64 disabled, canonicalization
+    # inside broadcast_one_to_all would silently truncate a uint64 payload
+    # to 32 bits of entropy
+    local = np.frombuffer(os.urandom(8), dtype=np.uint32).copy()
     tok = multihost_utils.broadcast_one_to_all(local)
-    return int(tok[0]).to_bytes(8, "little").hex()
+    return np.asarray(tok, dtype=np.uint32).tobytes().hex()

@@ -64,8 +64,13 @@ def _local_search(db_hv, db_norm, q_hv, q_norm, *, ksize: int, k_top: int,
     return mv, mi.astype(jnp.int32), md
 
 
+@functools.lru_cache(maxsize=None)
 def _search_fn(mesh: Mesh, ksize: int, k_top: int, use_mxu: bool):
-    """The jitted shard_map search program (shared by all entry points)."""
+    """The jitted shard_map search program (shared by all entry points).
+
+    Memoized: a fresh jit(shard_map(...)) object per call would miss pjit's
+    cache and re-trace/re-load the program every tile — tens of seconds per
+    tile on remote-compile backends (same pattern as seqpar._seqpar_fn)."""
     return jax.jit(
         jax.shard_map(
             functools.partial(
@@ -291,21 +296,44 @@ def sharded_topk_search_tiled(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Multi-device top-k over a DB too large for one sharded dispatch.
 
-    Streams DB row tiles through sharded_topk_search and merges the per-tile
-    top-k candidates on the host, bounding per-device memory at
+    Streams DB row tiles through the memoized shard_map program and merges
+    the per-tile top-k candidates on the host, bounding per-device memory at
     O(tile_m/ndb x N) — the multi-device analog of local_topk_search_tiled
     (which this degenerates to conceptually at ndb == 1, kept separate
     because its merge stays on device).
+
+    Queries upload once and stay device-resident; every tile pads to the
+    same tile_m so ONE compiled program serves the whole loop (a
+    different-shaped last tile would cost an extra remote compile), and
+    use_mxu resolves once over the full arrays so the split mode cannot
+    flip between tiles.
     """
+    use_mxu = _resolve_mxu(use_mxu, db_hv, q_hv)
+    ndb = mesh.shape[AXIS_DB]
+    nq = mesh.shape[AXIS_Q]
     M, N = db_hv.shape[0], q_hv.shape[0]
+    tile_m = -(-max(tile_m, k_top) // ndb) * ndb
+    Np = -(-N // nq) * nq
+    sh = lambda spec: NamedSharding(mesh, spec)
+    q_dev = jax.device_put(_pad_rows(q_hv, Np), sh(P(AXIS_Q, None)))
+    qn_dev = jax.device_put(_pad_rows(q_norm, Np), sh(P(AXIS_Q)))
+    fn = _search_fn(mesh, ksize, k_top, use_mxu)
     run_v = np.full((N, k_top), -np.inf, dtype=np.float32)
     run_i = np.zeros((N, k_top), dtype=np.int32)
     run_d = np.zeros((N, k_top), dtype=np.int32)
     for mi in range(0, M, tile_m):
-        v, i, d = sharded_topk_search(
-            mesh, db_hv[mi : mi + tile_m], db_norm[mi : mi + tile_m],
-            q_hv, q_norm, ksize, k_top, use_mxu=use_mxu,
-        )
+        rows = min(tile_m, M - mi)
+        v, i, d = jax.device_get(fn(
+            jax.device_put(
+                _pad_rows(db_hv[mi : mi + tile_m], tile_m),
+                sh(P(AXIS_DB, None)),
+            ),
+            jax.device_put(
+                _pad_rows(db_norm[mi : mi + tile_m], tile_m), sh(P(AXIS_DB))
+            ),
+            q_dev, qn_dev,
+        ))
+        v, i, d = _mask_padding(v, i, d, rows, tile_m, N)
         cv = np.concatenate([run_v, v], axis=1)
         ci = np.concatenate([run_i, i + mi], axis=1)
         cd = np.concatenate([run_d, d], axis=1)
@@ -372,10 +400,15 @@ def run_search_cli(args, load_db) -> None:
                 ksize=ref_db.ksize, k_top=k_top,
             )
         elif ndev == 1:
-            # stream row tiles through a running on-device top-k merge
+            # stream row tiles through a running on-device top-k merge;
+            # size the tile from the SAME per-device pair budget that
+            # routed us here (the fixed default would exceed it at large N)
             ani, idx, dot = local_topk_search_tiled(
                 ref_db.hvs, ref_db.norms, query_db.hvs, query_db.norms,
                 ksize=ref_db.ksize, k_top=k_top,
+                tile_m=max(
+                    k_top, 256, PAIRS_PER_DEVICE_TILE_LIMIT // max(N, 1)
+                ),
             )
         else:
             mesh = make_mesh()
@@ -397,22 +430,27 @@ def run_search_cli(args, load_db) -> None:
         np.zeros(0, np.int32),
         query_db.ksize,
     ).reshape(N, k_top)
-    valid = np.isfinite(ani)  # -inf marks short-shard / padded-row slots
+    # -inf marks short-shard / padded-row slots; NaN them out so the shared
+    # reference-exact formatter (stable-sort-reversed ties, '%.3f',
+    # threshold cut — reference:src/utils.rs:262-269) drops them. One
+    # formatter serves dist and search so the TSV contract lives in one
+    # place.
+    from hypergen_tpu.models.comparator import format_ani_report
+
+    exact = np.where(np.isfinite(ani), exact, np.nan)
     lines = []
-    thr = np.float32(args.ani_th)
+    n_hits = 0
     for qi in range(N):
-        # per-query rows sorted by the exact ANI, reference tie semantics
-        # (stable ascending then reversed, reference:src/utils.rs:262-269)
-        for j in np.argsort(exact[qi], kind="stable")[::-1]:
-            if valid[qi, j] and exact[qi, j] >= thr:
-                lines.append(
-                    f"{ref_db_names[int(idx[qi, j])]}\t{query_db.names[qi]}\t"
-                    f"{exact[qi, j]:.3f}\n"
-                )
+        tsv, n_q = format_ani_report(
+            ref_db_names, [query_db.names[qi]], idx[qi],
+            np.zeros(idx.shape[1], np.int64), exact[qi], args.ani_th,
+        )
+        lines.append(tsv)
+        n_hits += n_q
     if jax.process_index() == 0:  # results replicated across hosts
         Path(args.out).write_text("".join(lines))
     log.info(
         "Searched %d queries against %d refs (top-%d) in %.3fs -> %d hits",
         N, n_refs, k_top,
-        time.monotonic() - t0, len(lines),
+        time.monotonic() - t0, n_hits,
     )

@@ -151,8 +151,15 @@ def _chunk_codes(codes: np.ndarray, ksize: int, C: int, n_seq: int) -> np.ndarra
     buf = np.full(L_ext, INVALID, dtype=np.uint8)
     n = min(codes.shape[0], L_ext)
     buf[:n] = codes[:n]
-    idx = np.arange(C + ksize - 1)[None, :] + (np.arange(n_chunks) * C)[:, None]
-    return buf[idx]
+    # overlapping rows at stride C over the contiguous buffer: a strided
+    # view (then one copy) costs output size only — a fancy-index matrix
+    # here would be int64 [n_chunks, C+k-1], 8x the data itself, on the
+    # path that exists specifically for huge genomes
+    view = np.lib.stride_tricks.as_strided(
+        buf, shape=(n_chunks, C + ksize - 1),
+        strides=(C * buf.strides[0], buf.strides[0]),
+    )
+    return np.ascontiguousarray(view)
 
 
 def sketch_codes_seqpar(
@@ -181,7 +188,7 @@ def sketch_codes_seqpar(
     C = int(chunk_positions)
     chunks = _chunk_codes(codes, params.ksize, C, n_seq)
     n_chunks = chunks.shape[0]
-    if params.scaled >= 400 and C % extract_block == 0:
+    if extract_block and params.scaled >= 400 and C % extract_block == 0:
         chunk_cap = 8  # slots per extract_block positions
     else:
         # dense survivors: compact the whole shard, cap on total count

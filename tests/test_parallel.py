@@ -135,6 +135,62 @@ def test_local_topk_search_tiled():
     assert np.allclose(ani[:, 0], 100.0, atol=1e-2)
 
 
+@pytest.mark.needs_devices(8)
+def test_sharded_topk_search_tiled_matches_one_shot():
+    """Tiled multi-device streaming (ragged last tile, shared program,
+    device-resident queries) == one-shot sharded search."""
+    from hypergen_tpu.parallel.search import (
+        sharded_topk_search, sharded_topk_search_tiled,
+    )
+
+    rng = np.random.default_rng(29)
+    M, N, D, K = 333, 12, 256, 6  # M % tile_m != 0 forces a ragged tile
+    db = rng.integers(-40, 40, size=(M, D)).astype(np.int16)
+    dbn = np.sum(db.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    q = db[rng.integers(0, M, size=N)].copy()
+    qn = np.sum(q.astype(np.int64) ** 2, axis=1).astype(np.int32)
+    mesh = make_mesh(4, 2)
+    got = sharded_topk_search_tiled(
+        mesh, db, dbn, q, qn, ksize=21, k_top=K, tile_m=100, use_mxu=False
+    )
+    want = sharded_topk_search(
+        mesh, db, dbn, q, qn, ksize=21, k_top=K, use_mxu=False
+    )
+    np.testing.assert_allclose(got[0], want[0], atol=2e-3)
+    np.testing.assert_array_equal(got[2], want[2])  # exact dots identical
+    assert np.allclose(got[0][:, 0], 100.0, atol=1e-2)
+
+
+def test_maybe_init_distributed_env(monkeypatch):
+    """Env triple routes to explicit init; HG_DIST=1 routes to auto-detect;
+    no env -> no-op (single-host runs must not touch jax.distributed)."""
+    from hypergen_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(
+        mesh_mod, "init_distributed",
+        lambda c, n, p: calls.append(("explicit", c, n, p)),
+    )
+    monkeypatch.setattr(
+        mesh_mod.jax.distributed, "initialize",
+        lambda *a, **k: calls.append(("auto",)),
+    )
+    for var in ("HG_NUM_PROCESSES", "HG_PROCESS_ID", "HG_COORDINATOR",
+                "HG_DIST"):
+        monkeypatch.delenv(var, raising=False)
+    mesh_mod.maybe_init_distributed()
+    assert calls == []
+    monkeypatch.setenv("HG_NUM_PROCESSES", "2")
+    monkeypatch.setenv("HG_PROCESS_ID", "1")
+    monkeypatch.setenv("HG_COORDINATOR", "h:1234")
+    mesh_mod.maybe_init_distributed()
+    assert calls == [("explicit", "h:1234", 2, 1)]
+    monkeypatch.setenv("HG_NUM_PROCESSES", "0")
+    monkeypatch.setenv("HG_DIST", "1")
+    mesh_mod.maybe_init_distributed()
+    assert calls[-1] == ("auto",)
+
+
 class TestSeqPar:
     """Single-genome sequence parallelism (SURVEY §5 long-context row)."""
 
