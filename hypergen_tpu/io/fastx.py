@@ -4,7 +4,10 @@ Semantics match the reference CPU path: needletail's FASTA parser +
 Sequence::normalize(false) + canonical_kmers validity rules
 (reference:src/sketch.rs:76-95):
 
-  - sequence lines of a record are concatenated (whitespace stripped);
+  - sequence lines of a record are concatenated (line ENDINGS stripped;
+    interior/trailing spaces or tabs are data and normalize to invalid,
+    breaking the k-mer windows that span them — exactly what needletail's
+    normalize does by mapping them to 'N');
   - a/c/g/t are uppercased; t/u/U -> T; everything that is not ACGT after
     normalization (N, gaps, IUPAC codes, junk) cannot appear in a k-mer;
   - k-mers never span record boundaries.
@@ -25,6 +28,7 @@ fallback and the behavioral spec.
 from __future__ import annotations
 
 import gzip
+import threading
 from pathlib import Path
 from typing import List, Tuple
 
@@ -56,8 +60,10 @@ def _open_maybe_gz(path: Path):
 def read_fasta_records(path) -> List[Tuple[bytes, bytes]]:
     """Parse a (possibly gzipped) FASTA file into [(header, seq_bytes)].
 
-    Whitespace inside sequence lines is kept out by line stripping; blank
-    lines are ignored. Raises ValueError on files with no '>' header.
+    Line endings are stripped; blank lines are ignored. Interior/trailing
+    spaces or tabs stay in the sequence bytes and code to INVALID —
+    matching needletail, whose normalize maps them to 'N' (module
+    docstring). Raises ValueError on files with no '>' header.
     """
     path = Path(path)
     records: List[Tuple[bytes, bytes]] = []
@@ -108,19 +114,23 @@ def read_genome_codes(path) -> np.ndarray:
 
 _NATIVE = None
 _NATIVE_TRIED = False
+_native_try_lock = threading.Lock()
 
 
 def _native_reader():
     """Lazy-load the optional C++ parser (native/libfastx.so)."""
     global _NATIVE, _NATIVE_TRIED
     if not _NATIVE_TRIED:
-        _NATIVE_TRIED = True
-        try:
-            from hypergen_tpu.io import fastx_native
+        with _native_try_lock:
+            if not _NATIVE_TRIED:
+                try:
+                    from hypergen_tpu.io import fastx_native
 
-            _NATIVE = fastx_native.read_genome_codes
-        except Exception:
-            _NATIVE = None
+                    _NATIVE = fastx_native.read_genome_codes
+                except Exception:
+                    _NATIVE = None
+                _NATIVE_TRIED = True  # after assignment: a concurrent
+                # reader must never see TRIED with the fn still unset
     return _NATIVE
 
 
@@ -211,13 +221,15 @@ _NATIVE_PACKED_TRIED = False
 def _native_packed_reader():
     global _NATIVE_PACKED, _NATIVE_PACKED_TRIED
     if not _NATIVE_PACKED_TRIED:
-        _NATIVE_PACKED_TRIED = True
-        try:
-            from hypergen_tpu.io import fastx_native
+        with _native_try_lock:
+            if not _NATIVE_PACKED_TRIED:
+                try:
+                    from hypergen_tpu.io import fastx_native
 
-            _NATIVE_PACKED = fastx_native.read_genome_packed
-        except Exception:
-            _NATIVE_PACKED = None
+                    _NATIVE_PACKED = fastx_native.read_genome_packed
+                except Exception:
+                    _NATIVE_PACKED = None
+                _NATIVE_PACKED_TRIED = True
     return _NATIVE_PACKED
 
 

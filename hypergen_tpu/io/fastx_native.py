@@ -20,9 +20,22 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "libfastx.so"
 
 _lib = None
+_load_lock = threading.Lock()
 
 
 def _load():
+    # serialized: the sketch I/O pool (up to 16 threads) hits this on first
+    # use, and unlocked it would spawn concurrent `make` builds + CDLL loads
+    # of a half-written .so (the Makefile also renames atomically for
+    # cross-PROCESS safety; this lock covers the in-process pool)
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
     global _lib
     if _lib is not None:
         return _lib

@@ -257,7 +257,10 @@ def load_sharded_db(path, shard_ids: Optional[List[int]] = None) -> ShardedDB:
     """Load all (or selected) shards of an .hgdb directory."""
     root = Path(path)
     manifest = json.loads((root / "manifest.json").read_text())
-    shards = manifest["shards"]
+    # names are derived from each shard's row range, so any order is
+    # internally consistent — but global row order keeps DB row indices
+    # stable across loaders (load_db_rows/load_db_norms sort the same way)
+    shards = sorted(manifest["shards"], key=lambda sh: sh["rows"][0])
     if shard_ids is not None:
         shards = [s for s in shards if s["id"] in set(shard_ids)]
     hvs = [np.load(root / s["hv"]) for s in shards]
@@ -334,7 +337,9 @@ def load_db_rows(path, lo: int, hi: int) -> ShardedDB:
     manifest = json.loads((root / "manifest.json").read_text())
     hvs = []
     norms = []
-    for s in manifest["shards"]:
+    # rows pair with names[lo:hi] positionally: iterate in global row
+    # order, not manifest list order (load_db_norms does the same)
+    for s in sorted(manifest["shards"], key=lambda sh: sh["rows"][0]):
         a, b = s["rows"]
         sl_lo, sl_hi = max(lo, a), min(hi, b)
         if sl_lo >= sl_hi:

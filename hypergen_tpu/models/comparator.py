@@ -163,6 +163,8 @@ class Comparator:
         case j > i (reference:src/dist.rs:252-265).
         """
         M, N = ref_db.hvs.shape[0], query_db.hvs.shape[0]
+        if symmetric and N != M:  # validate BEFORE burning the tiled dots
+            raise ValueError("symmetric dist requires square pair matrix")
         ani_full = np.zeros((M, N), dtype=np.float32)
         for mi, nj, tile in self.dot_tiles(ref_db.hvs, query_db.hvs):
             ani_full[mi : mi + tile.shape[0], nj : nj + tile.shape[1]] = ani_f32_host(
@@ -173,8 +175,6 @@ class Comparator:
             )
         if symmetric:
             ii, jj = np.triu_indices(M, k=1)
-            if N != M:
-                raise ValueError("symmetric dist requires square pair matrix")
         else:
             ii, jj = np.meshgrid(np.arange(M), np.arange(N), indexing="ij")
             ii, jj = ii.ravel(), jj.ravel()
@@ -346,6 +346,10 @@ def _ani_pairs_thresholded(
                 if int(cnt) <= cap:
                     break
                 cap = max(cap * 2, int(-(-int(cnt) // 1024) * 1024))
+                # persist the learned cap: workloads where most tiles
+                # exceed the initial guess would otherwise repeat the
+                # overflow dispatch (dot computed twice) on EVERY tile
+                comp.compact_cap0 = cap
             k = int(cnt)
             idx = idx[:k]
             ii = mi + idx // tn

@@ -41,7 +41,8 @@ import numpy as np
 from hypergen_tpu.io.fastx import (
     INVALID,
     PackedGenome,
-    read_genome_codes,
+    invalid_runs,
+    pack2bit,
     read_genome_packed,
 )
 from hypergen_tpu.io.sketch_db import FileSketch
@@ -60,17 +61,14 @@ _SENT = np.uint32(0xFFFFFFFF)
 def _pad_and_pack2bit(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """(INVALID-padded buffer, 2-bit packed bytes) for a code array.
 
-    2-bit pack via u32 words: byte i of word w holds code c_i; the four
-    2-bit fields fold into the low byte (c0 | c1<<2 | c2<<4 | c3<<6).
+    The pack itself is io.fastx.pack2bit (one algorithm, one home);
+    INVALID codes fold to 0 under the &3 mask, matching the kernel's
+    packed-garbage-repaired-by-runs contract.
     """
     n = min(codes.shape[0], padded_len)
     buf = np.full(padded_len, INVALID, dtype=np.uint8)
     buf[:n] = codes[:n]
-    w = buf.view(np.uint32)
-    t = w & np.uint32(0x03030303)
-    t |= t >> np.uint32(6)
-    t |= t >> np.uint32(12)
-    return buf, np.ascontiguousarray(t.view(np.uint8)[::4])
+    return buf, pack2bit(buf)
 
 
 def pack_codes(codes: np.ndarray, padded_len: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -102,19 +100,10 @@ def find_invalid_runs(codes: np.ndarray, genome_len: int, padded_len: int) -> np
     Invalid bases (N runs, record separators) are rare and clustered, so a
     run list is hundreds of bytes where a dense validity bitmask is
     padded_len/8 — the mask was ~1/3 of all H2D traffic through the chip
-    tunnel. Includes the tail padding run [genome_len, padded_len).
+    tunnel. The run-finding core is io.fastx.invalid_runs; this adds the
+    tail padding run [genome_len, padded_len).
     """
-    inv = codes[: min(genome_len, padded_len)] >= INVALID
-    flips = np.flatnonzero(np.diff(inv))
-    bounds = np.empty(flips.size + 2, dtype=np.int64)
-    bounds[0] = 0
-    bounds[1:-1] = flips + 1
-    bounds[-1] = inv.size
-    # segments alternate valid/invalid starting with inv[0]
-    first_inv = 0 if (inv.size and inv[0]) else 1
-    starts = bounds[first_inv:-1:2]
-    ends = bounds[first_inv + 1 :: 2]
-    runs = np.stack([starts, ends], axis=1).astype(np.int32)
+    runs = invalid_runs(codes[: min(genome_len, padded_len)])
     if genome_len < padded_len:
         if runs.size and runs[-1, 1] == genome_len:
             runs[-1, 1] = padded_len  # merge with tail padding
@@ -371,6 +360,12 @@ def make_sketch_step(
         sp = pos.reshape(batch, n_chunks, cap, cells)
         sv = valid.reshape(batch, n_chunks, cap, cells)
         rest_cap = max(8, packed_be_cap // 4)
+        # plane 0 extracts 128-position blocks: a block can never hold more
+        # than 128 survivors, so its slot count clamps there (be0 <= 128
+        # always, i.e. plane 0 cannot overflow once slots0 == 128). The
+        # retry ladder may push packed_be_cap far past 128 purely to grow
+        # rest_cap (= be_cap//4, whose 512-slot blocks need up to 512).
+        slots0 = min(packed_be_cap, 128)
 
         def extract(hi, lo, p, v, block, slots):
             hh = U64(hi.reshape(batch, -1), lo.reshape(batch, -1))
@@ -381,7 +376,7 @@ def make_sketch_step(
 
         flat0, _, be0, pos0 = extract(
             sh[:, :, 0], sl[:, :, 0], sp[:, :, 0], sv[:, :, 0],
-            128, packed_be_cap,
+            128, slots0,
         )
         if cap > 1:
             rest_n = (cap - 1) * n_chunks * cells
@@ -541,7 +536,9 @@ class Sketcher:
         # dispatch bucket worth batching)
         self.seqpar_min_chunks = int(seqpar_min_chunks)
         self._steps: Dict[Tuple, object] = {}
-        self._enc_overflow_factor = 1
+        # per-BUCKET encode-cap growth: one repeat-rich outlier genome must
+        # not recompile and permanently inflate every other bucket's step
+        self._enc_overflow_factor: Dict[int, int] = {}
         self._pack_pool = ThreadPoolExecutor(max_workers=min(self.batch, 8))
 
     # -- device step management ------------------------------------------
@@ -553,10 +550,13 @@ class Sketcher:
         # packed path's encode sweep cost is proportional to this cap
         # (it encodes the sorted-array prefix). The exact occ check + retry
         # ladder makes an undersized cap a recompile, never wrong output.
-        expected = n_chunks * self.C // max(self.params.scaled, 1)
-        cap = 2 * expected + 512
-        cap *= self._enc_overflow_factor
+        cap = self._enc_cap_base(n_chunks)
+        cap *= self._enc_overflow_factor.get(n_chunks, 1)
         return int(-(-cap // 256) * 256)
+
+    def _enc_cap_base(self, n_chunks: int) -> int:
+        expected = n_chunks * self.C // max(self.params.scaled, 1)
+        return 2 * expected + 512
 
     def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None,
                   validity: str = "runs", be_cap: Optional[int] = None):
@@ -745,23 +745,30 @@ class Sketcher:
                     }
                     for i in range(n)
                 ]
-            # grow whichever capacity overflowed and recompute this batch
-            # synchronously (host inputs are reused from the handle)
+            # grow whichever capacity overflowed STRAIGHT to a sufficient
+            # size (each retry costs a fresh compile, so doubling loops are
+            # real money on remote-compile backends) and recompute this
+            # batch synchronously (host inputs are reused from the handle)
             if max_count > chunk_cap:
                 log.warning(
                     "survivor cap overflow (%d > %d); retrying",
                     max_count, chunk_cap,
                 )
+                grown = _next_pow2(max_count)
                 chunk_cap = (
-                    min(chunk_cap * 2, lsub) if mode == "packed"
-                    else chunk_cap * 2
+                    min(grown, lsub) if mode == "packed" else grown
                 )
             if mode == "packed" and be_max > be_cap:
                 log.warning(
                     "extract cap overflow (%d > %d); retrying",
                     be_max, be_cap,
                 )
-                be_cap = min(be_cap * 2, 512)
+                # be_max is in be_cap units (rest overflow is normalized as
+                # ber*be_cap//rest_cap), so be_cap >= be_max restores
+                # rest_cap >= ber; 2048 = 4x the 512-slot rest block size,
+                # past which overflow is impossible (see slots0 note in
+                # make_sketch_step)
+                be_cap = min(max(be_cap * 2, _next_pow2(be_max)), 2048)
             enc_over = (
                 occ_max if mode == "packed"
                 else int(n_hashes.max(initial=0))
@@ -771,7 +778,12 @@ class Sketcher:
                     "encode cap overflow (%d > %d); retrying",
                     enc_over, enc_cap,
                 )
-                self._enc_overflow_factor *= 2
+                base = self._enc_cap_base(handle["n_chunks"])
+                need = -(-enc_over // max(base, 1))
+                self._enc_overflow_factor[handle["n_chunks"]] = max(
+                    self._enc_overflow_factor.get(handle["n_chunks"], 1) * 2,
+                    _next_pow2(need),
+                )
             step, chunk_cap, enc_cap, be_cap = self._get_step(
                 handle["n_chunks"], chunk_cap, validity=mode, be_cap=be_cap
             )

@@ -261,6 +261,10 @@ def test_packed_rest_plane_overflow_detected():
     (30, 4096, 9000),     # the rest-plane regression regime, multi-chunk
     (300, 2048, 2047),    # genome one short of a bucket boundary
     (1500, 4096, 500),    # production sparsity, tiny genome
+    (2, 2048, 8300),      # 512-slot rest blocks at density ~1: needs
+                          # rest_cap -> 512 (be_cap -> 2048), the regime the
+                          # old be_cap<=512 ladder ceiling could never
+                          # satisfy (RuntimeError instead of parity)
 ])
 def test_packed_capacity_stress_parity(scaled, C, L):
     """Capacity-stress sweep: densities and lengths chosen to overflow the
