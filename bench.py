@@ -315,7 +315,9 @@ def main():
     backend = jax.default_backend()
     with tempfile.TemporaryDirectory(prefix="hgbench_") as td:
         sk = bench_sketch(Path(td))
-    dev = bench_device()
+    # the packed Pallas step cannot lower off-TPU; a CPU-backend bench run
+    # (no accelerator / relay down) must still emit its JSON line
+    dev = bench_device() if backend == "tpu" else {}
     an = bench_ani()
     value = round(sk["genomes_per_sec"], 3)
     out = {
@@ -331,6 +333,13 @@ def main():
             "genomes_per_sec_mixed": round(sk["genomes_per_sec_mixed"], 3),
             "bp_per_sec_mixed": round(sk["bp_per_sec_mixed"], 0),
             "genomes_per_sec_d8192": round(sk["genomes_per_sec_d8192"], 3),
+            "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
+            "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),
+            "ani_dist85_pairs_per_sec": round(an["dist85_pairs_per_sec"], 0),
+        },
+    }
+    if dev:
+        out["extra"].update({
             "device_step_genomes4m_per_sec": round(
                 dev["device_step_genomes4m_per_sec"], 1
             ),
@@ -364,11 +373,7 @@ def main():
             ),
             "vpu_sol_fraction_hash": round(dev["vpu_sol_fraction_hash"], 3)
             if "vpu_sol_fraction_hash" in dev else None,
-            "ani_search_pairs_per_sec": round(an["search_pairs_per_sec"], 0),
-            "ani_table_pairs_per_sec": round(an["table_pairs_per_sec"], 0),
-            "ani_dist85_pairs_per_sec": round(an["dist85_pairs_per_sec"], 0),
-        },
-    }
+        })
     print(json.dumps(out))
 
 

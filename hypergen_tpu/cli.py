@@ -168,25 +168,11 @@ def run_sketch(args) -> None:
         import json
 
         manifest = json.loads((Path(args.out) / "manifest.json").read_text())
-        if (
-            manifest["ksize"], manifest["scaled"], manifest["seed"],
-            manifest["hv_d"], manifest["canonical"],
-            manifest.get("sketch_method", "t1ha2"),
-        ) != (
-            sp.ksize, sp.scaled, sp.seed, sp.hv_d,
-            sp.canonical, sp.sketch_method,
-        ):
-            log.error("--resume: existing DB has different sketch params")
-            sys.exit(1)
-        # compare resolved paths: keying on the exact string would silently
-        # re-sketch (and duplicate DB rows) when the resume run spells the
-        # input path differently (relative vs absolute, trailing slash)
-        done = _resolved_set(manifest)
-        skipped = sum(1 for f in files if str(Path(f).resolve()) in done)
+        _check_resume_params(manifest, sp)
+        files, skipped = _filter_resumed(manifest, files)
         if skipped:
             log.info("Resume: %d of %d genomes already sketched", skipped,
-                     len(files))
-        files = [f for f in files if str(Path(f).resolve()) not in done]
+                     skipped + len(files))
         resuming = True
         if not files:
             log.info("Resume: nothing left to sketch")
@@ -230,6 +216,34 @@ def _resolved_set(manifest: dict) -> set:
     return {str(Path(n).resolve()) for n in names}
 
 
+def _check_resume_params(manifest: dict, sp: SketchParams) -> None:
+    """--resume must never append rows sketched with different parameters
+    (shared by the single-host and pod paths so they can't drift)."""
+    if (
+        manifest["ksize"], manifest["scaled"], manifest["seed"],
+        manifest["hv_d"], manifest["canonical"],
+        manifest.get("sketch_method", "t1ha2"),
+    ) != (
+        sp.ksize, sp.scaled, sp.seed, sp.hv_d,
+        sp.canonical, sp.sketch_method,
+    ):
+        log.error("--resume: existing DB has different sketch params")
+        sys.exit(1)
+
+
+def _filter_resumed(manifest: dict, files) -> tuple:
+    """(files not yet in the DB, skipped count) by resolved-path matching:
+    keying on the exact string would silently re-sketch (and duplicate DB
+    rows) when the resume run spells an input path differently (relative
+    vs absolute, trailing slash). Paths resolve once — at GTDB scale the
+    resolve() syscalls over hundreds of thousands of files are real time.
+    """
+    done = _resolved_set(manifest)
+    resolved = [str(Path(f).resolve()) for f in files]
+    remaining = [f for f, r in zip(files, resolved) if r not in done]
+    return remaining, len(files) - len(remaining)
+
+
 def _run_sketch_pod(sp: SketchParams, files, args) -> None:
     """Pod-mode sketching: host p sketches files[p::nproc] onto its local
     devices and writes one DB shard; process 0 merges the manifest
@@ -253,23 +267,11 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
     manifest_path = Path(args.out) / "manifest.json"
     if getattr(args, "resume", False) and manifest_path.exists():
         base_manifest = json.loads(manifest_path.read_text())
-        if (
-            base_manifest["ksize"], base_manifest["scaled"],
-            base_manifest["seed"], base_manifest["hv_d"],
-            base_manifest["canonical"],
-            base_manifest.get("sketch_method", "t1ha2"),
-        ) != (
-            sp.ksize, sp.scaled, sp.seed, sp.hv_d,
-            sp.canonical, sp.sketch_method,
-        ):
-            log.error("--resume: existing DB has different sketch params")
-            sys.exit(1)
-        done = _resolved_set(base_manifest)
-        skipped = sum(1 for f in files if str(Path(f).resolve()) in done)
+        _check_resume_params(base_manifest, sp)
+        files, skipped = _filter_resumed(base_manifest, files)
         if skipped and pid == 0:
             log.info("Resume: %d of %d genomes already sketched", skipped,
-                     len(files))
-        files = [f for f in files if str(Path(f).resolve()) not in done]
+                     skipped + len(files))
         shard_offset = max(
             (sh["id"] + 1 for sh in base_manifest["shards"]), default=0
         )
@@ -304,6 +306,9 @@ def _run_sketch_pod(sp: SketchParams, files, args) -> None:
 
 
 def run_dist(args, top_k: int = 0) -> None:
+    """All-pairs dist. top_k (library callers only; the CLI always passes 0)
+    is a GLOBAL cap on report rows — NOT the per-query cap of `search`,
+    which formats its own per-query reports in parallel.search."""
     from hypergen_tpu.models.comparator import (
         Comparator,
         report_sparsity,

@@ -137,34 +137,9 @@ def dot_i16_exact(r: jnp.ndarray, q: jnp.ndarray, use_mxu=True) -> jnp.ndarray:
         mm = d(rh + rl, qh + ql)
         return (hh << 12) + ((mm - hh - ll) << 6) + ll
     if use_mxu:
-        D = r.shape[-1]
-        rh, rl = split_i16_to_i8(r)
-        qh, ql = split_i16_to_i8(q)
-
-        def d(a, b):
-            return jax.lax.dot_general(
-                a,
-                b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-
-        hh = d(rh, qh)
-        hl = d(rh, ql)
-        lh = d(rl, qh)
-        ll = d(rl, ql)
-        s32 = lambda a: jnp.sum(a.astype(jnp.int32), axis=-1)
-        row = (s32(rh) << 15) + (s32(rl) << 7)  # [M]
-        col = (s32(qh) << 15) + (s32(ql) << 7)  # [N]
-        const = jnp.int32(((16384 * D + (1 << 31)) % (1 << 32)) - (1 << 31))
-        return (
-            (hh << 16)
-            + ((hl + lh) << 8)
-            + ll
-            + row[:, None]
-            + col[None, :]
-            + const
-        )
+        # one home for the 4-way split + mod-2^32 correction math: split
+        # the r side via presplit_rows and reuse the presplit combine
+        return dot_i16_presplit(*presplit_rows(r), q)
     return jax.lax.dot_general(
         r.astype(jnp.int32),
         q.astype(jnp.int32),

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hypergen_tpu.ops import u64 as u
 from hypergen_tpu.ops.hashes import mm_hash64, t1ha2_atonce_words
+from hypergen_tpu.ops.kmers import _ascii_from_code
 from hypergen_tpu.ops.u64 import U64
 
 CELLS = 1024  # default: 8 sublanes x 128 lanes (one VREG per op)
@@ -48,22 +49,15 @@ _SENT = np.uint32(0xFFFFFFFF)
 # 4096 (lsub=C/4096) is the sweet spot for C >= 64K.
 
 
-def _ascii_from_code(c):
-    return (
-        np.uint32(65)
-        + (c << 1)
-        + ((c >> 1) << 1)
-        + jnp.where(c == 3, np.uint32(11), np.uint32(0))
-    )
+def _advance_hash(st, cb, *, ksize, seed, canonical, method):
+    """One rolling-window step, shared by BOTH kernels (the parity-critical
+    t1ha2/mmhash window math must exist exactly once): locals in, locals
+    out, so callers can unroll several positions between VMEM round trips.
 
-
-def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
-                    seed, threshold, canonical, method, lsub, sub):
-    # state_ref rows: 0 run, 1-2 f2 (hi, lo), 3-4 r2 (hi, lo),
-    # 5..5+n_u32 fwd ASCII words, then n_u32 rc ASCII words.
-    # Rolling state lives in VMEM scratch rather than fori_loop carries:
-    # Mosaic rejects mixing splat-constant (replicated-layout) carries with
-    # computed vectors across loop iterations.
+    st = (f2, r2, fw, rw): 2-bit fwd/rc keys (U64) + fwd/rc ASCII u32
+    words. cb: uint32 (sub, 128) 2-bit base code of the incoming position.
+    Returns (st', h).
+    """
     k = ksize
     n_u32 = (k + 3) // 4
     n_words = (k + 7) // 8
@@ -76,68 +70,87 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
     # shift placing the newest rc 2-bit base at bit 2k-2 of the (hi, lo) pair
     rc_shift = 2 * k - 2
 
-    zero = jnp.zeros((sub, 128), dtype=jnp.uint32)
+    f2, r2, fw, rw = st
+    # rolling 2-bit k-mers (first base most significant)
+    f2 = u.shl(f2, 2)
+    f2 = U64(f2.hi & kmer_hi_mask, (f2.lo & kmer_lo_mask) | cb)
+    comp = np.uint32(3) - cb
+    r2 = u.shr(r2, 2)
+    if rc_shift >= 32:
+        r2 = U64(r2.hi | (comp << np.uint32(rc_shift - 32)), r2.lo)
+    else:
+        r2 = U64(r2.hi, r2.lo | (comp << np.uint32(rc_shift)))
+
+    if method == "t1ha2":
+        a_f = _ascii_from_code(cb)
+        a_r = _ascii_from_code(comp)
+        # fwd ASCII window: bytes shift toward index 0, newest at k-1
+        nfw = []
+        for q in range(n_u32):
+            w = fw[q] >> 8
+            if q + 1 < n_u32:
+                w = w | ((fw[q + 1] & np.uint32(0xFF)) << 24)
+            nfw.append(w)
+        nfw[new_q] = nfw[new_q] | (a_f << np.uint32(8 * new_s))
+        # rc ASCII window: bytes shift toward higher index, newest at 0
+        nrw = []
+        for q in range(n_u32):
+            w = rw[q] << 8
+            if q > 0:
+                w = w | (rw[q - 1] >> 24)
+            nrw.append(w)
+        nrw[0] = nrw[0] | a_r
+        nrw[n_u32 - 1] = nrw[n_u32 - 1] & top_word_mask
+        fw, rw = nfw, nrw
+
+    if canonical:
+        is_rc = u.lt(r2, f2)
+    else:
+        is_rc = jnp.zeros(cb.shape, dtype=bool)
+
+    if method == "t1ha2":
+        zero = jnp.zeros(cb.shape, dtype=jnp.uint32)
+        sel = [jnp.where(is_rc, rw[q], fw[q]) for q in range(n_u32)]
+        words = []
+        for wq in range(n_words):
+            lo = sel[2 * wq]
+            hi = sel[2 * wq + 1] if 2 * wq + 1 < n_u32 else zero
+            words.append(U64(hi, lo))
+        h = t1ha2_atonce_words(words, k, seed)
+    else:  # mmhash on the canonical 2-bit key
+        key = u.select(is_rc, r2, f2) if canonical else f2
+        h = mm_hash64(key)
+    return (f2, r2, fw, rw), h
+
+
+def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
+                    seed, threshold, canonical, method, lsub, sub):
+    # state_ref rows: 0 run, 1-2 f2 (hi, lo), 3-4 r2 (hi, lo),
+    # 5..5+n_u32 fwd ASCII words, then n_u32 rc ASCII words.
+    # Rolling state lives in VMEM scratch rather than fori_loop carries:
+    # Mosaic rejects mixing splat-constant (replicated-layout) carries with
+    # computed vectors across loop iterations.
+    k = ksize
+    n_u32 = (k + 3) // 4
     state_ref[:] = jnp.zeros_like(state_ref)
 
     def body(t, _):
         run = state_ref[0].astype(jnp.int32)
-        f2 = U64(state_ref[1], state_ref[2])
-        r2 = U64(state_ref[3], state_ref[4])
-        fw = [state_ref[5 + q] for q in range(n_u32)]
-        rw = [state_ref[5 + n_u32 + q] for q in range(n_u32)]
+        st = (
+            U64(state_ref[1], state_ref[2]),
+            U64(state_ref[3], state_ref[4]),
+            [state_ref[5 + q] for q in range(n_u32)],
+            [state_ref[5 + n_u32 + q] for q in range(n_u32)],
+        )
         c = codes_ref[0, t].astype(jnp.uint32)
         valid = c < 4
         cb = c & np.uint32(3)
         run = jnp.where(valid, run + 1, 0)
-
-        # rolling 2-bit k-mers (first base most significant)
-        f2 = u.shl(f2, 2)
-        f2 = U64(f2.hi & kmer_hi_mask, (f2.lo & kmer_lo_mask) | cb)
-        comp = np.uint32(3) - cb
-        r2 = u.shr(r2, 2)
-        if rc_shift >= 32:
-            r2 = U64(r2.hi | (comp << np.uint32(rc_shift - 32)), r2.lo)
-        else:
-            r2 = U64(r2.hi, r2.lo | (comp << np.uint32(rc_shift)))
-
-        if method == "t1ha2":
-            a_f = _ascii_from_code(cb)
-            a_r = _ascii_from_code(comp)
-            # fwd ASCII window: bytes shift toward index 0, newest at k-1
-            nfw = []
-            for q in range(n_u32):
-                w = fw[q] >> 8
-                if q + 1 < n_u32:
-                    w = w | ((fw[q + 1] & np.uint32(0xFF)) << 24)
-                nfw.append(w)
-            nfw[new_q] = nfw[new_q] | (a_f << np.uint32(8 * new_s))
-            # rc ASCII window: bytes shift toward higher index, newest at 0
-            nrw = []
-            for q in range(n_u32):
-                w = rw[q] << 8
-                if q > 0:
-                    w = w | (rw[q - 1] >> 24)
-                nrw.append(w)
-            nrw[0] = nrw[0] | a_r
-            nrw[n_u32 - 1] = nrw[n_u32 - 1] & top_word_mask
-            fw, rw = nfw, nrw
-
-        if canonical:
-            is_rc = u.lt(r2, f2)
-        else:
-            is_rc = jnp.zeros((sub, 128), dtype=bool)
-
-        if method == "t1ha2":
-            sel = [jnp.where(is_rc, rw[q], fw[q]) for q in range(n_u32)]
-            words = []
-            for wq in range(n_words):
-                lo = sel[2 * wq]
-                hi = sel[2 * wq + 1] if 2 * wq + 1 < n_u32 else zero
-                words.append(U64(hi, lo))
-            h = t1ha2_atonce_words(words, k, seed)
-        else:  # mmhash on the canonical 2-bit key
-            key = u.select(is_rc, r2, f2) if canonical else f2
-            h = mm_hash64(key)
+        st, h = _advance_hash(
+            st, cb, ksize=ksize, seed=seed, canonical=canonical,
+            method=method,
+        )
+        f2, r2, fw, rw = st
 
         keep = (run >= k) & u.lt_const(h, threshold)
         out_hi = jnp.where(keep, h.hi, _SENT)
@@ -191,16 +204,8 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
     """
     k = ksize
     n_u32 = (k + 3) // 4
-    n_words = (k + 7) // 8
-    top_word_mask = np.uint32((1 << (8 * (k - 4 * (n_u32 - 1)))) - 1)
-    kmer_mask = (1 << (2 * k)) - 1
-    kmer_hi_mask = np.uint32(kmer_mask >> 32)
-    kmer_lo_mask = np.uint32(kmer_mask & 0xFFFFFFFF)
-    new_q, new_s = divmod(k - 1, 4)
-    rc_shift = 2 * k - 2
     T = lsub + k - 1
 
-    zero = jnp.zeros((sub, 128), dtype=jnp.uint32)
     for s in range(cap):
         slot_hi_ref[0, s] = jnp.full((sub, 128), _SENT, jnp.uint32)
         slot_lo_ref[0, s] = jnp.full((sub, 128), _SENT, jnp.uint32)
@@ -217,58 +222,17 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
         """One rolling-window step: st = (f2, r2, fw, rw) locals -> (st, h).
 
         Pure in locals so the loop body can unroll several positions per
-        fori_loop iteration, amortizing the VMEM state load/store."""
-        f2, r2, fw, rw = st
+        fori_loop iteration, amortizing the VMEM state load/store. The
+        window math itself is the shared _advance_hash; only the base
+        fetch differs from _rolling_kernel (dynamic shift out of the
+        packed word instead of a byte load)."""
         w = words_ref[0, t // 16]
         shift = (np.uint32(2) * (t % 16).astype(jnp.uint32))
         cb = (w >> shift) & np.uint32(3)
-
-        f2 = u.shl(f2, 2)
-        f2 = U64(f2.hi & kmer_hi_mask, (f2.lo & kmer_lo_mask) | cb)
-        comp = np.uint32(3) - cb
-        r2 = u.shr(r2, 2)
-        if rc_shift >= 32:
-            r2 = U64(r2.hi | (comp << np.uint32(rc_shift - 32)), r2.lo)
-        else:
-            r2 = U64(r2.hi, r2.lo | (comp << np.uint32(rc_shift)))
-
-        if method == "t1ha2":
-            a_f = _ascii_from_code(cb)
-            a_r = _ascii_from_code(comp)
-            nfw = []
-            for q in range(n_u32):
-                x = fw[q] >> 8
-                if q + 1 < n_u32:
-                    x = x | ((fw[q + 1] & np.uint32(0xFF)) << 24)
-                nfw.append(x)
-            nfw[new_q] = nfw[new_q] | (a_f << np.uint32(8 * new_s))
-            nrw = []
-            for q in range(n_u32):
-                x = rw[q] << 8
-                if q > 0:
-                    x = x | (rw[q - 1] >> 24)
-                nrw.append(x)
-            nrw[0] = nrw[0] | a_r
-            nrw[n_u32 - 1] = nrw[n_u32 - 1] & top_word_mask
-            fw, rw = nfw, nrw
-
-        if canonical:
-            is_rc = u.lt(r2, f2)
-        else:
-            is_rc = jnp.zeros((sub, 128), dtype=bool)
-
-        if method == "t1ha2":
-            sel = [jnp.where(is_rc, rw[q], fw[q]) for q in range(n_u32)]
-            words = []
-            for wq in range(n_words):
-                lo = sel[2 * wq]
-                hi = sel[2 * wq + 1] if 2 * wq + 1 < n_u32 else zero
-                words.append(U64(hi, lo))
-            h = t1ha2_atonce_words(words, k, seed)
-        else:
-            key = u.select(is_rc, r2, f2) if canonical else f2
-            h = mm_hash64(key)
-        return (f2, r2, fw, rw), h
+        return _advance_hash(
+            st, cb, ksize=ksize, seed=seed, canonical=canonical,
+            method=method,
+        )
 
     def emit(h, t):
         @pl.when(t >= k - 1)
@@ -472,8 +436,12 @@ def hash_packed_rows_pallas(
     chunk_off = np.repeat(
         np.arange(n_chunks, dtype=np.int32), cap * cells
     )[None, :] * C
-    pos = slot_pos.reshape(B, S) + jnp.asarray(chunk_off)
     valid = ~((h.hi == _SENT) & (h.lo == _SENT))
+    # keep the documented empty-slot marker: a bare chunk_off add would turn
+    # chunk i's sentinel -1 into i*C - 1, a legal-looking position
+    pos = jnp.where(
+        valid, slot_pos.reshape(B, S) + jnp.asarray(chunk_off), -1
+    )
     cell_max = jnp.max(cnt.reshape(B, -1), axis=-1)
     return h, pos, valid, cell_max
 
