@@ -67,8 +67,14 @@ def pack_hv(hv: np.ndarray, bits: int) -> np.ndarray:
 def unpack_hv(packed: bytes, bits: int, hv_d: int) -> np.ndarray:
     """Packed bytes -> int16 HV [hv_d] (reference:src/hd.rs:190-212)."""
     expect = bits * hv_d // 8
-    if len(packed) < expect:
-        raise ValueError(f"packed buffer too short: {len(packed)} < {expect}")
+    if len(packed) != expect:
+        # an oversized buffer means the stored quant_bits disagrees with
+        # the byte count — decoding a prefix at the wrong width would
+        # return silent garbage HVs
+        raise ValueError(
+            f"packed buffer length {len(packed)} != expected {expect} "
+            f"for bits={bits}, hv_d={hv_d}"
+        )
     nblk = hv_d // BLOCK
     words = (
         np.frombuffer(packed[:expect], dtype="<u4")

@@ -46,17 +46,9 @@ def normalize_seq(seq: bytes) -> bytes:
 
 def canonical_kmers(norm_seq: bytes, k: int) -> Iterable[bytes]:
     """Yield canonical k-mers over windows of k consecutive ACGT bases."""
-    n = len(norm_seq)
-    run = 0
-    for i in range(n):
-        if norm_seq[i] in _COMPLEMENT:
-            run += 1
-        else:
-            run = 0
-        if run >= k:
-            fwd = norm_seq[i - k + 1 : i + 1]
-            rc = bytes(_COMPLEMENT[c] for c in reversed(fwd))
-            yield fwd if fwd < rc else rc
+    for fwd in _forward_kmers(norm_seq, k):
+        rc = bytes(_COMPLEMENT[c] for c in reversed(fwd))
+        yield fwd if fwd < rc else rc
 
 
 def extract_kmer_hashes(
@@ -93,6 +85,8 @@ def extract_kmer_hashes(
 
 
 def _forward_kmers(norm_seq: bytes, k: int) -> Iterable[bytes]:
+    """Forward-strand windows; canonical_kmers canonicalizes these same
+    windows (one run-scan loop — the boundary logic must not fork)."""
     run = 0
     for i in range(len(norm_seq)):
         if norm_seq[i] in _COMPLEMENT:
@@ -146,7 +140,14 @@ def ani_from_dot(dot: int, norm2_r: int, norm2_q: int, ksize: int) -> float:
     """ANI%% from an exact i32 dot product, float32 arithmetic throughout
     (reference:src/dist.rs:150-161)."""
     dot32 = np.float32(dot)
-    denom = np.float32(norm2_r + norm2_q - dot)
+    # the denominator wraps in i32 exactly like the reference's
+    # overflow-checks=false build (and like models/comparator._ani_chain);
+    # unbounded Python int here would disagree with both for huge genomes
+    # (norm2_r + norm2_q - dot > 2^31 flips the jaccard sign -> ANI 0)
+    d = (norm2_r + norm2_q - dot) & 0xFFFFFFFF
+    if d >= 1 << 31:
+        d -= 1 << 32
+    denom = np.float32(d)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         jaccard = np.float32(dot32 / denom)
         inner = np.float32(

@@ -81,10 +81,18 @@ class SketchParams:
         # compression packs 256-lane blocks (reference:src/hd.rs:139-153,
         # BitPacker8x::BLOCK_LEN); anything coarser passes validation but
         # dies at dump time, so reject it here
-        if self.hv_d % 256 != 0:
-            raise ValueError(f"hv_d must be a multiple of 256, got {self.hv_d}")
-        if self.scaled < 1:
-            raise ValueError(f"scaled must be >= 1, got {self.scaled}")
+        if self.hv_d < 256 or self.hv_d % 256 != 0:
+            # hv_d=0 and negative multiples satisfy a bare % check (Python
+            # modulo) and produce structurally-valid but empty sketches
+            raise ValueError(
+                f"hv_d must be a positive multiple of 256, got {self.hv_d}"
+            )
+        if not 1 <= self.scaled <= U64_MASK:
+            # scaled > u64::MAX makes the FracMinHash threshold 0: every
+            # sketch silently empty
+            raise ValueError(
+                f"scaled must be in [1, 2^64-1], got {self.scaled}"
+            )
 
 
 @dataclasses.dataclass
