@@ -31,6 +31,7 @@ from __future__ import annotations
 import collections
 import functools
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -198,7 +199,16 @@ def packed_row_words(n_chunks: int, chunk_positions: int) -> int:
 def packed_cells(chunk_positions: int) -> int:
     """Kernel cell count for the packed path (cells must divide C/16;
     4096 is the ILP sweet spot — see hash_kernel.CELLS notes). 0 = C too
-    small/misaligned for the packed path."""
+    small/misaligned for the packed path.
+
+    HG_PACKED_CELLS overrides the preference (perf experiments: fewer
+    cells = larger lsub = proportionally less k-1 halo duplication but
+    less lane ILP); outputs are bit-identical for any legal value."""
+    env = os.environ.get("HG_PACKED_CELLS", "")
+    if env:
+        c = int(env)
+        if c % 128 == 0 and chunk_positions % (16 * c) == 0:
+            return c
     for c in (4096, 1024, 128):
         if chunk_positions % (16 * c) == 0:
             return c
