@@ -1,4 +1,9 @@
 """mmhash Pallas branch: real-TPU Mosaic compile + parity vs XLA path."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,9 +31,4 @@ for method in ("mmhash",):
         assert (hp[keep_p] == hx[keep_x]).all()
         print(f"{method} canonical={canonical}: parity OK "
               f"({int(np.asarray(keep_x).sum())} survivors)", flush=True)
-
-import sys
-from pathlib import Path
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

@@ -28,7 +28,8 @@ for B in (8, 16, 32, 64):
     )
     N = 3
     ins = []
-    for _ in range(N):
+    for _ in range(N + 1):  # +1: warmup input excluded from timing (relay
+        # caches (executable, inputs) -> result; replays are free)
         p2 = np.empty((B, L_pad // 4), np.uint8)
         pv = np.empty((B, L_pad // 8), np.uint8)
         for i in range(B):
@@ -38,6 +39,7 @@ for B in (8, 16, 32, 64):
         ins.append((p2, pv))
     out = step(jnp.asarray(ins[0][0]), jnp.asarray(ins[0][1]))
     jax.device_get(out)  # compile + settle
+    ins = ins[1:]
     t0 = time.monotonic()
     for p2, pv in ins:
         hv, meta = split_step_output(

@@ -1,7 +1,13 @@
 """Isolate relay costs: H2D, dispatch-on-resident-args, D2H, end-to-end.
 
+SUPERSEDED for device-time attribution by profile_device_time.py
+(chained-scan differencing): through the relay, block_until_ready is a
+no-op and any real fetch costs ~150 ms, so the per-section numbers here
+are enqueue+fetch ballparks, NOT device time. Still useful for H2D/D2H
+byte-rate estimates and the serialized-vs-pipelined end-to-end contrast.
 Run alone (no concurrent load). Distinct inputs per repetition defeat the
-relay's (executable, inputs) result cache.
+relay's (executable, inputs) result cache — the warmup input is never
+re-timed.
 """
 
 import time
@@ -33,7 +39,7 @@ step = make_sketch_step(
 
 print("building inputs...")
 host_in = []
-for _ in range(N):
+for _ in range(N + 1):  # [0] is warmup-only
     p2 = np.empty((B, L_pad // 4), np.uint8)
     pv = np.empty((B, L_pad // 8), np.uint8)
     for i in range(B):
@@ -42,9 +48,9 @@ for _ in range(N):
         )
     host_in.append((p2, pv))
 
-# warmup compile
-out = step(jnp.asarray(host_in[0][0]), jnp.asarray(host_in[0][1]))
-jax.block_until_ready(out)
+# warmup compile (real fetch: block_until_ready is a relay no-op)
+jax.device_get(step(jnp.asarray(host_in[0][0]), jnp.asarray(host_in[0][1])))
+host_in = host_in[1:]
 
 # --- H2D only -------------------------------------------------------------
 t0 = time.monotonic()
@@ -56,18 +62,19 @@ t_h2d = (time.monotonic() - t0) / N
 print(f"H2D per batch ({(host_in[0][0].nbytes+host_in[0][1].nbytes)/1e6:.1f} MB): "
       f"{t_h2d*1e3:.1f} ms")
 
-# --- dispatch+compute on resident args, serialized ------------------------
+# --- dispatch+compute on resident args, serialized (incl. one-row fetch:
+# the only real sync through the relay) ------------------------------------
 t0 = time.monotonic()
 for d2, dv in dev_in:
     out = step(d2, dv)
-    jax.block_until_ready(out)
+    jax.device_get(out[0, 0])
 t_step = (time.monotonic() - t0) / N
-print(f"step on resident args (serialized): {t_step*1e3:.1f} ms")
+print(f"step on resident args (serialized, +scalar fetch): {t_step*1e3:.1f} ms")
 
-# --- same but pipelined (async dispatch) -----------------------------------
+# --- same but pipelined (async dispatch, one fetch at the end) --------------
 t0 = time.monotonic()
 outs = [step(d2, dv) for d2, dv in dev_in]
-jax.block_until_ready(outs)
+jax.device_get(outs[-1][0, 0])
 t_pipe = (time.monotonic() - t0) / N
 print(f"step on resident args (pipelined): {t_pipe*1e3:.1f} ms")
 
@@ -86,16 +93,16 @@ for p2, pv in host_in:
 t_e2e = (time.monotonic() - t0) / N
 print(f"end-to-end serialized: {t_e2e*1e3:.1f} ms -> {B/t_e2e:.1f} genomes/s")
 
-# pipelined end-to-end, window 3
+# pipelined end-to-end, window 3 (single pass: a second pass over the same
+# inputs would be served from the relay result cache)
 import collections
 win = collections.deque()
 t0 = time.monotonic()
-for rep in range(2):
-    for p2, pv in host_in:
-        win.append(step(jnp.asarray(p2), jnp.asarray(pv)))
-        if len(win) >= 3:
-            jax.device_get(win.popleft())
+for p2, pv in host_in:
+    win.append(step(jnp.asarray(p2), jnp.asarray(pv)))
+    if len(win) >= 3:
+        jax.device_get(win.popleft())
 while win:
     jax.device_get(win.popleft())
-t_p = (time.monotonic() - t0) / (2 * N)
+t_p = (time.monotonic() - t0) / N
 print(f"end-to-end pipelined: {t_p*1e3:.1f} ms -> {B/t_p:.1f} genomes/s")

@@ -18,18 +18,23 @@ GENOME_BP = 4_000_000
 rng = np.random.default_rng(0)
 sketcher = Sketcher(SketchParams(), chunk_positions=1 << 17, batch=B)
 
+# 2*N distinct timed batches + 1 warmup batch: the relay caches
+# (executable, inputs) -> result, so replaying a batch is free and lies
 batches = [
     [rng.integers(0, 4, size=GENOME_BP, dtype=np.uint8) for _ in range(B)]
-    for _ in range(N_BATCHES)
+    for _ in range(2 * N_BATCHES + 1)
 ]
+warm, batches_ser, batches_pipe = (
+    batches[0], batches[1 : N_BATCHES + 1], batches[1:]
+)
 
 # warmup/compile
-h = sketcher.submit_batch(batches[0])
+h = sketcher.submit_batch(warm)
 sketcher.collect_batch(h)
 
 # phase timing, serialized (no pipeline) to attribute time
 t_pack = t_sub = t_col = 0.0
-for bi, genomes in enumerate(batches):
+for bi, genomes in enumerate(batches_ser):
     t0 = time.monotonic()
     n_chunks = max(sketcher._bucket(c.shape[0]) for c in genomes)
     p2, pv = sketcher._pack_batch(genomes, n_chunks)
@@ -54,11 +59,11 @@ print(f"serialized throughput: {n/tot:.1f} genomes/s")
 import collections
 window = collections.deque()
 t0 = time.monotonic()
-for genomes in batches * 2:
+for genomes in batches_pipe:
     window.append(sketcher.submit_batch(genomes))
     if len(window) >= 3:
         sketcher.collect_batch(window.popleft())
 while window:
     sketcher.collect_batch(window.popleft())
 dt = time.monotonic() - t0
-print(f"pipelined throughput: {2*n/dt:.1f} genomes/s")
+print(f"pipelined throughput: {len(batches_pipe)*B/dt:.1f} genomes/s")

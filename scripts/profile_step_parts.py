@@ -80,16 +80,20 @@ def f_relayout_t(p2, pv):
 
 
 def timeit(name, fn, inputs, n=4):
-    jax.block_until_ready(fn(*inputs[0]))
+    # block_until_ready is a NO-OP through the axon relay: force a real
+    # scalar fetch per call; warmup input excluded, each timed input used
+    # once (the relay caches (executable, inputs) -> result)
+    del n
+    float(fn(*inputs[0]))
     t0 = time.monotonic()
-    outs = [fn(*inputs[i % len(inputs)]) for i in range(n)]
-    jax.block_until_ready(outs)
-    dt = (time.monotonic() - t0) / n
+    for args in inputs[1:]:
+        float(fn(*args))
+    dt = (time.monotonic() - t0) / (len(inputs) - 1)
     print(f"{name:32s} {dt*1e3:9.1f} ms")
     return dt
 
 
-ins = fresh(4)
+ins = fresh(5)
 print(f"positions: {B*NC*C/1e6:.1f}M")
 timeit("unpack+chunk", f_unpack, ins)
 timeit("unpack+chunk+relayout(take)", f_relayout, ins)

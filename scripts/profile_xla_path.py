@@ -1,4 +1,5 @@
-"""Does explicit device_put of jit args beat passing numpy directly?"""
+"""Time the use_pallas=False (pure-XLA) sketch step for comparison with the
+Pallas kernel path (same harness shape as profile_devput.py)."""
 
 import time
 
@@ -28,7 +29,7 @@ for B in (8, 32):
     )
     N = 3
     ins = []
-    for _ in range(N):
+    for _ in range(N + 1):  # [0] is warmup-only (relay result cache)
         p2 = np.empty((B, L_pad // 4), np.uint8)
         pv = np.empty((B, L_pad // 8), np.uint8)
         for i in range(B):
@@ -38,6 +39,7 @@ for B in (8, 32):
         ins.append((p2, pv))
     out = step(jax.device_put(ins[0][0]), jax.device_put(ins[0][1]))
     jax.device_get(out)
+    ins = ins[1:]
 
     t0 = time.monotonic()
     for p2, pv in ins:
