@@ -408,6 +408,11 @@ def make_sketch_step(
             )
         else:
             flat, flat_pos, be_max = flat0, pos0, be0
+        if probe == "extract_pre":  # extraction WITHOUT the run postfilter
+            return (
+                jnp.sum(flat.lo.astype(jnp.int32))
+                + jnp.sum(flat_pos) + jnp.sum(be_max)
+            )
         clean = filter_positions_by_runs(flat_pos, runs, k)
         flat = U64(
             jnp.where(clean, flat.hi, _SENT),

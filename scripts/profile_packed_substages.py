@@ -33,9 +33,10 @@ BE_CAP = packed_be_cap_default(C, SCALED)
 RUNS = np.full((B, 512, 2), np.int32(0x7FFFFFFF), np.int32)
 N_POS = np.full(B, NC * C, np.int32)
 
-PROBES = ["hash", "extract", "dedup", None]
-NAMES = ["hash (gather+kernel)", "+extract+filter", "+dedup sort",
-         "full (+compact+encode)"]
+PROBES = ["hash", "extract_pre", "extract", "dedup", None]
+NAMES = ["hash (relayout+kernel)", "+extract (no filter)", "+run postfilter",
+         "+dedup sort",
+         "full (+prefix encode+norm)"]
 
 
 def _stage_fn(depth):
