@@ -495,6 +495,19 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+@functools.lru_cache(maxsize=8)
+def _concat_outputs_jit(k: int):
+    """jit'ed K-way concat: fuses K step outputs into ONE D2H fetch.
+
+    Through the chip tunnel every device_get pays ~150 ms of round-trip
+    latency regardless of payload (~263 KB per [B, D+10] i16 output), so
+    fetching K batches one-by-one spends K round trips on latency. One
+    device-side concat collapses that to a single fetch; the concat itself
+    is a trivial copy the relay dispatches in ~30 ms. Keyed by K only —
+    step outputs share one shape across buckets ([batch, hv_d + META])."""
+    return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+
+
 class Sketcher:
     """Batched, pipelined genome sketcher with bucketed jit compilation.
 
@@ -513,6 +526,7 @@ class Sketcher:
         run_cap: int = 512,
         seqpar_min_chunks: int = 512,
         pallas_interpret: bool = False,
+        collect_group: int = 4,
     ):
         params.validate()
         self.params = params
@@ -550,11 +564,16 @@ class Sketcher:
         # 512 chunks at the default C is ~67 Mbp — far beyond any one
         # dispatch bucket worth batching)
         self.seqpar_min_chunks = int(seqpar_min_chunks)
+        # D2H fetch fusion width for collect_batches (tunnel-latency
+        # amortization; 1 disables fusion)
+        self.collect_group = max(int(collect_group), 1)
         self._steps: Dict[Tuple, object] = {}
         # per-BUCKET encode-cap growth: one repeat-rich outlier genome must
         # not recompile and permanently inflate every other bucket's step
         self._enc_overflow_factor: Dict[int, int] = {}
         self._pack_pool = ThreadPoolExecutor(max_workers=min(self.batch, 8))
+        self.last_stage_times: Dict[str, float] = {}
+        self.last_h2d_bytes = 0
 
     # -- device step management ------------------------------------------
 
@@ -702,6 +721,7 @@ class Sketcher:
             "enc_cap": enc_cap,
             "be_cap": be_cap,
             "validity": mode,
+            "h2d_bytes": sum(a.nbytes for a in args),
         }
 
     def submit_batch(self, codes_list: List[np.ndarray]):
@@ -720,7 +740,39 @@ class Sketcher:
 
     def collect_batch(self, handle) -> List[Dict[str, object]]:
         """Realize a batch; retries exactly on capacity overflow (rare)."""
-        hv, meta = split_step_output(jax.device_get(handle["out"]))
+        return self.collect_batches([handle])[0]
+
+    def collect_batches(self, handles) -> List[List[Dict[str, object]]]:
+        """Realize several in-flight batches with ONE fused D2H fetch.
+
+        Device-side concat of the K step outputs -> single device_get ->
+        host split; per-batch capacity checks/retries run on the slices
+        (retries are rare and refetch individually). Groups larger than
+        collect_group chunk; chunks of 2..collect_group-1 pad by repeating
+        the last output so a single concat program (keyed by K) serves
+        every group size — a fresh remote compile costs far more than
+        fetching a few duplicate 263 KB rows."""
+        results: List[List[Dict[str, object]]] = []
+        G = max(int(getattr(self, "collect_group", 4)), 1)
+        for lo in range(0, len(handles), G):
+            chunk = handles[lo : lo + G]
+            outs = [h["out"] for h in chunk]
+            if len(outs) == 1:
+                fetched = [np.asarray(jax.device_get(outs[0]))]
+            else:
+                padded = outs + [outs[-1]] * (G - len(outs))
+                big = np.asarray(
+                    jax.device_get(_concat_outputs_jit(G)(*padded))
+                )
+                B = outs[0].shape[0]
+                fetched = [big[i * B : (i + 1) * B] for i in range(len(outs))]
+            results.extend(
+                self._finalize_batch(h, o) for h, o in zip(chunk, fetched)
+            )
+        return results
+
+    def _finalize_batch(self, handle, out_np) -> List[Dict[str, object]]:
+        hv, meta = split_step_output(out_np)
         n = handle["n"]
         mode = handle["validity"]
         cells = packed_cells(self.C)
@@ -868,22 +920,31 @@ class Sketcher:
         results: Dict[int, FileSketch] = {}
         window = collections.deque()
         timer = StageTimer()
+        h2d_bytes = 0
 
-        def drain_one():
-            idxs, handle = window.popleft()
+        def drain_group():
+            # fuse up to collect_group in-flight outputs into ONE D2H fetch
+            # (tunnel round trips are latency-bound, see collect_batches)
+            group = [
+                window.popleft()
+                for _ in range(min(self.collect_group, len(window)))
+            ]
             with timer.stage("collect+compress"):
-                for i, res in zip(idxs, self.collect_batch(handle)):
-                    results[i] = self._to_filesketch(res, str(paths[i]))
-                    pb.inc()
+                batches = self.collect_batches([h for _, h in group])
+                for (idxs, _), res_list in zip(group, batches):
+                    for i, res in zip(idxs, res_list):
+                        results[i] = self._to_filesketch(res, str(paths[i]))
+                        pb.inc()
 
         def dispatch(group):
+            nonlocal h2d_bytes
             idxs = [i for i, _ in group]
             with timer.stage("pack+dispatch"):
-                window.append(
-                    (idxs, self.submit_batch_packed([g for _, g in group]))
-                )
-            if len(window) >= pipeline_depth:
-                drain_one()
+                handle = self.submit_batch_packed([g for _, g in group])
+                window.append((idxs, handle))
+                h2d_bytes += handle["h2d_bytes"]
+            if len(window) >= pipeline_depth + self.collect_group - 1:
+                drain_group()
 
         # stream files through a bounded read-ahead window so a 50k-file
         # directory never materializes in RAM (PackedGenomes are 4x smaller
@@ -936,10 +997,12 @@ class Sketcher:
                 for j in range(0, len(by_bucket[bucket]), self.batch):
                     dispatch(by_bucket[bucket][j : j + self.batch])
             while window:
-                drain_one()
+                drain_group()
         pb.finish()
-        # keep the stage totals readable by callers (bench reports shares)
+        # keep the stage totals readable by callers (bench reports shares
+        # and the effective H2D rate through the tunnel)
         self.last_stage_times = dict(timer.totals)
+        self.last_h2d_bytes = h2d_bytes
         if os.environ.get("HG_STAGE_TIMING"):
             log.info("sketch stage timing:\n%s", timer.report())
         return [results[i] for i in range(len(paths))]
