@@ -150,6 +150,11 @@ class Comparator:
                 )
                 yield mi, nj, tile[: min(tm, M - mi), : min(tn, N - nj)]
 
+    # dense all-pairs is an exhaustive-table utility (tests, small sets);
+    # above this it allocates multi-GB host float matrices and every
+    # production caller should be on ani_pairs_streamed / _thresholded
+    MAX_DENSE_PAIRS = 1 << 25  # 32M pairs = 128 MB float32 + pair lists
+
     def ani_pairs(
         self,
         ref_db: ShardedDB,
@@ -161,10 +166,22 @@ class Comparator:
         Returns (ref_idx, query_idx, ani) flat arrays ordered exactly like
         the reference's pair list: i over refs, j over queries, symmetric
         case j > i (reference:src/dist.rs:252-265).
+
+        Guarded against GTDB-scale inputs: the dense M x N materialization
+        is an OOM trap (a 49k x 49k self-dist is a ~9.6 GB host matrix);
+        callers past MAX_DENSE_PAIRS are redirected to the O(survivors)
+        streamed path, which returns identical ANIs.
         """
         M, N = ref_db.hvs.shape[0], query_db.hvs.shape[0]
         if symmetric and N != M:  # validate BEFORE burning the tiled dots
             raise ValueError("symmetric dist requires square pair matrix")
+        if M * N > self.MAX_DENSE_PAIRS:
+            raise ValueError(
+                f"ani_pairs would materialize {M}x{N} = {M * N} host floats "
+                f"(> MAX_DENSE_PAIRS={self.MAX_DENSE_PAIRS}); use "
+                "ani_pairs_streamed(threshold=...) which keeps only "
+                "survivors and returns identical ANI values"
+            )
         ani_full = np.zeros((M, N), dtype=np.float32)
         for mi, nj, tile in self.dot_tiles(ref_db.hvs, query_db.hvs):
             ani_full[mi : mi + tile.shape[0], nj : nj + tile.shape[1]] = ani_f32_host(
@@ -481,6 +498,68 @@ def write_ani_report(
             )
             fh.write("".join(rows.tolist()))
     return n_keep
+
+
+def write_search_report(
+    out_path,
+    ref_names: List[str],
+    query_names: List[str],
+    ref_idx: np.ndarray,
+    ani: np.ndarray,
+    threshold: float,
+    chunk_queries: int = 4096,
+) -> int:
+    """Streamed search TSV: per-query top-k blocks, queries in input order.
+
+    ref_idx/ani are [N_queries, k_top]. Within each query the rows are
+    stable-sorted descending by ANI with ties reversed and cut at the
+    threshold — exactly format_ani_report applied per query (the search
+    contract: reference:src/utils.rs:262-286 ordering, applied to each
+    query's hit list) — but assembled vectorized in bounded chunks of
+    queries instead of one format_ani_report call + Python string per
+    query, so a GTDB-scale report (~50k queries) streams with O(chunk)
+    memory. NaN ANIs (padded / short-shard slots) never emit. Returns
+    n_reported. Byte-identity with the per-query formatter is pinned in
+    tests/test_report.py.
+    """
+    a = np.ascontiguousarray(np.asarray(ani, dtype=np.float32))
+    idx = np.asarray(ref_idx)
+    if a.ndim != 2:
+        raise ValueError("ani must be [n_queries, k_top]")
+    N, K = a.shape
+    # ascending stable argsort reversed = descending with ties reversed,
+    # the reference sort (utils.rs:262-269); NaN sorts last ascending ->
+    # first reversed, and the >= threshold mask drops it, so survivors
+    # form the same subsequence format_ani_report emits
+    ordc = np.argsort(a, axis=1, kind="stable")[:, ::-1]
+    a_sorted = np.take_along_axis(a, ordc, axis=1)
+    keep = a_sorted >= np.float32(threshold)
+    names_r = np.char.add(np.asarray(ref_names, dtype=np.str_), "\t")
+    names_q = np.char.add(np.asarray(query_names, dtype=np.str_), "\t")
+    idx_sorted = np.take_along_axis(idx, ordc, axis=1)
+    n = 0
+    with open(out_path, "w") as fh:
+        for lo in range(0, N, chunk_queries):
+            hi = min(lo + chunk_queries, N)
+            qi, ci = np.nonzero(keep[lo:hi])
+            if qi.size == 0:
+                continue
+            rows = np.char.add(
+                np.char.add(names_r[idx_sorted[lo:hi][qi, ci]],
+                            names_q[qi + lo]),
+                np.char.add(
+                    np.char.mod("%.3f", a_sorted[lo:hi][qi, ci]), "\n"
+                ),
+            )
+            fh.write("".join(rows.tolist()))
+            n += int(qi.size)
+    return n
+
+
+def count_search_hits(ani: np.ndarray, threshold: float) -> int:
+    """Rows write_search_report would emit (for non-writing pod ranks)."""
+    a = np.asarray(ani, dtype=np.float32)
+    return int(np.sum(a >= np.float32(threshold)))
 
 
 def report_sparsity(n_reported: int, n_total: int, threshold: float) -> None:

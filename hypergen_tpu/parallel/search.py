@@ -22,7 +22,6 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from pathlib import Path
 from typing import Tuple
 
 import jax
@@ -431,24 +430,23 @@ def run_search_cli(args, load_db) -> None:
         query_db.ksize,
     ).reshape(N, k_top)
     # -inf marks short-shard / padded-row slots; NaN them out so the shared
-    # reference-exact formatter (stable-sort-reversed ties, '%.3f',
-    # threshold cut — reference:src/utils.rs:262-269) drops them. One
-    # formatter serves dist and search so the TSV contract lives in one
-    # place.
-    from hypergen_tpu.models.comparator import format_ani_report
+    # reference-exact writer (stable-sort-reversed ties, '%.3f', threshold
+    # cut — reference:src/utils.rs:262-269) drops them. The streamed
+    # per-query writer keeps the TSV contract byte-identical to
+    # format_ani_report while assembling rows vectorized in bounded chunks
+    # (a 50k-query top-k report no longer builds 50k Python strings).
+    from hypergen_tpu.models.comparator import (
+        count_search_hits,
+        write_search_report,
+    )
 
     exact = np.where(np.isfinite(ani), exact, np.nan)
-    lines = []
-    n_hits = 0
-    for qi in range(N):
-        tsv, n_q = format_ani_report(
-            ref_db_names, [query_db.names[qi]], idx[qi],
-            np.zeros(idx.shape[1], np.int64), exact[qi], args.ani_th,
-        )
-        lines.append(tsv)
-        n_hits += n_q
     if jax.process_index() == 0:  # results replicated across hosts
-        Path(args.out).write_text("".join(lines))
+        n_hits = write_search_report(
+            args.out, ref_db_names, query_db.names, idx, exact, args.ani_th
+        )
+    else:
+        n_hits = count_search_hits(exact, args.ani_th)
     log.info(
         "Searched %d queries against %d refs (top-%d) in %.3fs -> %d hits",
         N, n_refs, k_top,

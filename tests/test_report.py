@@ -4,7 +4,12 @@ consistency (r2 verdict items #4/#5)."""
 import numpy as np
 import pytest
 
-from hypergen_tpu.models.comparator import format_ani_report, write_ani_report
+from hypergen_tpu.models.comparator import (
+    count_search_hits,
+    format_ani_report,
+    write_ani_report,
+    write_search_report,
+)
 
 
 class TestWriteAniReport:
@@ -53,6 +58,73 @@ class TestWriteAniReport:
         )
         assert n == 0
         assert out.read_text() == ""
+
+
+class TestWriteSearchReport:
+    """The streamed search writer must be byte-identical to applying
+    format_ani_report per query (the r3 run_search_cli formatting loop,
+    replaced for bounded memory at GTDB query counts)."""
+
+    def _reference_tsv(self, ref_names, q_names, idx, ani, thr):
+        lines, n = [], 0
+        for qi in range(ani.shape[0]):
+            tsv, n_q = format_ani_report(
+                ref_names, [q_names[qi]], idx[qi],
+                np.zeros(idx.shape[1], np.int64), ani[qi], thr,
+            )
+            lines.append(tsv)
+            n += n_q
+        return "".join(lines), n
+
+    @pytest.mark.parametrize("threshold", [0.0, 85.0, 101.0])
+    def test_byte_identical_to_per_query_format(self, tmp_path, threshold):
+        rng = np.random.default_rng(11)
+        n_q, k = 300, 10
+        ref_names = [f"r{i}.fna" for i in range(512)]
+        q_names = [f"q{i}.fna" for i in range(n_q)]
+        idx = rng.integers(0, 512, size=(n_q, k))
+        # quantized values force in-row ties (stable reversal must match);
+        # NaN marks padded / short-shard slots
+        ani = (rng.integers(0, 40, size=(n_q, k)) * 2.5).astype(np.float32)
+        ani[rng.random((n_q, k)) < 0.1] = np.nan
+        exp_tsv, exp_n = self._reference_tsv(
+            ref_names, q_names, idx, ani, threshold
+        )
+        out = tmp_path / "hits.tsv"
+        got_n = write_search_report(
+            out, ref_names, q_names, idx, ani, threshold, chunk_queries=37
+        )
+        assert got_n == exp_n
+        assert out.read_text() == exp_tsv
+        assert count_search_hits(ani, threshold) == exp_n
+
+    def test_empty_queries(self, tmp_path):
+        out = tmp_path / "hits.tsv"
+        n = write_search_report(
+            out, ["r"], [], np.zeros((0, 3), np.int64),
+            np.zeros((0, 3), np.float32), 85.0,
+        )
+        assert n == 0
+        assert out.read_text() == ""
+
+
+class TestDensePairsGuard:
+    def test_ani_pairs_rejects_gtdb_scale(self):
+        """The dense M x N table is an OOM trap at scale; the guard must
+        fire BEFORE any tile allocation and point at the streamed path."""
+        from hypergen_tpu.io.sketch_db import ShardedDB
+        from hypergen_tpu.models.comparator import Comparator
+
+        M = 1 << 13
+        hv = np.zeros((M, 4), np.int16)  # shapes only; guard fires first
+        norms = np.zeros(M, np.int32)
+        db = ShardedDB(
+            ksize=21, scaled=1500, canonical=True, seed=123, hv_d=4,
+            names=[str(i) for i in range(M)], hvs=hv, norms=norms,
+        )
+        comp = Comparator(ksize=21)
+        with pytest.raises(ValueError, match="ani_pairs_streamed"):
+            comp.ani_pairs(db, db, symmetric=True)
 
 
 class TestSearchDistConsistency:
