@@ -77,7 +77,19 @@ class SketchParams:
 
     def validate(self) -> None:
         if not 1 <= self.ksize <= 32:
-            raise ValueError(f"ksize must be in [1, 32], got {self.ksize}")
+            # deliberate divergence from the reference, whose CPU path
+            # accepts any u8 ksize via arbitrary-length t1ha2 over ASCII
+            # k-mers (reference:src/sketch.rs:90, src/types.rs:64): the
+            # device kernels roll the canonical k-mer as one 2-bit-packed
+            # 64-bit key, which caps k at 32. Documented in PARITY.md
+            # "Known divergences"; genomic practice (and every reference
+            # default/example) uses k <= 32.
+            raise ValueError(
+                f"ksize must be in [1, 32], got {self.ksize}: this "
+                "TPU-native build packs each canonical k-mer into one "
+                "64-bit 2-bit-encoded key on device; the reference CPU "
+                "path allows larger k (see PARITY.md, known divergences)"
+            )
         # compression packs 256-lane blocks (reference:src/hd.rs:139-153,
         # BitPacker8x::BLOCK_LEN); anything coarser passes validation but
         # dies at dump time, so reject it here

@@ -438,6 +438,15 @@ class TestUncompressed:
         with pytest.raises(ValueError):
             SketchParams(hv_d=384).validate()
 
+    def test_ksize_above_32_names_the_divergence(self):
+        """k <= 32 is a documented divergence from the reference CPU path
+        (arbitrary-k t1ha2, reference:src/sketch.rs:90); the error must
+        say so and point at PARITY.md, not just state the range."""
+        with pytest.raises(ValueError, match="PARITY.md"):
+            SketchParams(ksize=33).validate()
+        with pytest.raises(ValueError, match="64-bit"):
+            SketchParams(ksize=64).validate()
+
 
 class TestHistogramHgdb:
     def test_hist_cli_on_hgdb(self, tmp_path, capsys):
