@@ -81,8 +81,17 @@ def _probe_backend(timeout_s: float = 180.0):
     jax.default_backend() directly. The probe runs a real computation
     (arange sum fetch) so a relay that accepts init but stalls on compute
     also fails it. Returns the backend string or None."""
+    # enable the persistent compile cache inside the probe (mirrors
+    # utils/jaxcache.py): without it the probe's program cold-compiles
+    # remotely every run, and under 2-4x relay weather a 20-60 s compile
+    # could eat the timeout and misclassify a live relay as down
     code = (
-        "import jax, jax.numpy as jnp;"
+        "import os, jax, jax.numpy as jnp;"
+        "d = os.path.expanduser('~/.cache/hypergen_tpu_jax');"
+        "os.makedirs(d, exist_ok=True);"
+        "jax.config.update('jax_compilation_cache_dir', d);"
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 1.0);"
         "print('BK', jax.default_backend());"
         "print('OK', int(jnp.arange(8).sum()))"
     )
@@ -481,10 +490,11 @@ def main():
                   "D=4096, files on disk end-to-end)",
         "value": value,
         "unit": "genomes/s",
-        # normalized to the 4 Mbp headline unit regardless of workload bp
-        # (rate is linear in bp), so the ratio is comparable across rounds
+        # normalized to the r1-r3 headline unit (4.0 Mbp genomes; rate is
+        # linear in bp), so the ratio is comparable across rounds even
+        # when the CPU fallback runs smaller files
         "vs_baseline": round(
-            (sk["bp_per_sec"] / 4.194e6 if sk else 0.0)
+            (sk["bp_per_sec"] / 4.0e6 if sk else 0.0)
             / REF_EST_GENOMES_PER_SEC, 3
         ),
         "extra": extra,
@@ -560,10 +570,10 @@ def main():
     extra["cpu_backend"] = _run_json_script("bench_cpu_backend.py", 900)
     extra["scaling_cpu_2proc"] = _run_json_script("bench_scaling_cpu.py", 1500)
     sc = extra["scaling_cpu_2proc"]
-    if isinstance(sc, dict) and "sketch_eff" in sc:
-        extra["scaling_efficiency_cpu_2proc"] = min(
-            sc["sketch_eff"], sc["search_eff"]
-        )
+    if isinstance(sc, dict):
+        effs = [sc.get("sketch_eff"), sc.get("search_eff")]
+        if all(isinstance(e, (int, float)) for e in effs):
+            extra["scaling_efficiency_cpu_2proc"] = min(effs)
     print(json.dumps(out))
 
 

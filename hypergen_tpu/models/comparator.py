@@ -492,12 +492,25 @@ def write_ani_report(
     with open(out_path, "w") as fh:
         for lo in range(0, n_keep, chunk_rows):
             sel = order[lo : min(lo + chunk_rows, n_keep)]
-            rows = np.char.add(
-                np.char.add(names_r[ref_idx[sel]], names_q[query_idx[sel]]),
-                np.char.add(np.char.mod("%.3f", ani[sel]), "\n"),
-            )
-            fh.write("".join(rows.tolist()))
+            fh.write(_tsv_rows(
+                names_r[ref_idx[sel]], names_q[query_idx[sel]], ani[sel]
+            ))
     return n_keep
+
+
+def _tsv_rows(ref_tab: np.ndarray, q_tab: np.ndarray,
+              vals: np.ndarray) -> str:
+    """Vectorized `ref\\tquery\\t%.3f\\n` assembly for gathered row arrays.
+
+    np.char.mod routes the float32 through the same C '%.3f' double path
+    as an f-string, so bytes are identical to the scalar formatter at
+    ~10x the rows/s (pinned in test_report). The ONE home for the row
+    format — write_ani_report (dist) and write_search_report (search)
+    must never drift apart."""
+    return "".join(np.char.add(
+        np.char.add(ref_tab, q_tab),
+        np.char.add(np.char.mod("%.3f", vals), "\n"),
+    ).tolist())
 
 
 def write_search_report(
@@ -544,14 +557,10 @@ def write_search_report(
             qi, ci = np.nonzero(keep[lo:hi])
             if qi.size == 0:
                 continue
-            rows = np.char.add(
-                np.char.add(names_r[idx_sorted[lo:hi][qi, ci]],
-                            names_q[qi + lo]),
-                np.char.add(
-                    np.char.mod("%.3f", a_sorted[lo:hi][qi, ci]), "\n"
-                ),
-            )
-            fh.write("".join(rows.tolist()))
+            fh.write(_tsv_rows(
+                names_r[idx_sorted[lo:hi][qi, ci]], names_q[qi + lo],
+                a_sorted[lo:hi][qi, ci],
+            ))
             n += int(qi.size)
     return n
 

@@ -903,10 +903,14 @@ class Sketcher:
 
         Genomes stream through a bounded read-ahead window (default 8x
         batch): same-bucket genomes within the window are grouped into
-        batches of `batch`, and up to `pipeline_depth` device batches are
-        in flight. Peak RAM is O(read_ahead + in-flight) genomes regardless
-        of directory size. Output order matches input order (reference
-        emits files in glob order, reference:src/sketch.rs:19-32).
+        batches of `batch`, and up to pipeline_depth + collect_group - 1
+        device batches are in flight (collection waits until collect_group
+        outputs can be fetched as ONE fused D2H transfer; set
+        collect_group=1 on the Sketcher to recover the strict
+        pipeline_depth bound). Peak RAM is O(read_ahead + in-flight)
+        genomes regardless of directory size. Output order matches input
+        order (reference emits files in glob order,
+        reference:src/sketch.rs:19-32).
         """
         import os
 

@@ -133,13 +133,21 @@ def _run(nproc: int, mode: str, data_dir: str, script: Path) -> float:
         for pid in range(nproc)
     ]
     walls = []
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        if p.returncode != 0:
-            raise RuntimeError(f"worker {pid} failed:\n{out[-2000:]}")
-        for line in out.splitlines():
-            if line.startswith(f"WALL{pid} "):
-                walls.append(json.loads(line.split(" ", 1)[1])["wall"])
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=900)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker {pid} failed:\n{out[-2000:]}")
+            for line in out.splitlines():
+                if line.startswith(f"WALL{pid} "):
+                    walls.append(json.loads(line.split(" ", 1)[1])["wall"])
+    finally:
+        # a failed/timed-out worker leaves its sibling blocked forever in
+        # the distributed barrier: kill OUR exact child PIDs so no orphan
+        # pegs the single core under later measurements
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     assert len(walls) == nproc
     # total job wall = the slowest process (pod completion time)
     return max(walls)
