@@ -114,12 +114,16 @@ def _probe_backend(timeout_s: float = 180.0):
     return backend if ok else None
 
 
-def _run_json_script(name: str, timeout_s: float):
+def _run_json_script(name: str, timeout_s: float, env_extra=None):
     """Run scripts/<name> in a subprocess; parse its last JSON stdout line."""
+    import os
+
+    env = dict(os.environ)
+    env.update(env_extra or {})
     try:
         r = subprocess.run(
             [sys.executable, str(Path(__file__).parent / "scripts" / name)],
-            capture_output=True, text=True, timeout=timeout_s,
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
     except subprocess.TimeoutExpired:
         return {"error": f"{name}: timeout after {timeout_s}s"}
@@ -568,7 +572,9 @@ def main():
     # (r3 verdict item 5) and the pod-path serialization smoke test
     # (item 4) — both CPU-only subprocesses, immune to relay weather
     extra["cpu_backend"] = _run_json_script("bench_cpu_backend.py", 900)
-    extra["scaling_cpu_2proc"] = _run_json_script("bench_scaling_cpu.py", 1500)
+    extra["scaling_cpu_2proc"] = _run_json_script(
+        "bench_scaling_cpu.py", 1500, {"HG_SCALING_REPEATS": "1"}
+    )
     sc = extra["scaling_cpu_2proc"]
     if isinstance(sc, dict):
         effs = [sc.get("sketch_eff"), sc.get("search_eff")]

@@ -167,12 +167,14 @@ def main():
             )
         script = d / "worker.py"
         script.write_text(_WORKER)
+        # min over repeats: single-core walls of a few seconds are at
+        # the mercy of whatever else the box is doing; the minimum is
+        # the uncontended estimate for both configs. HG_SCALING_REPEATS=1
+        # (bench.py sets it) halves wall time for the in-bench run.
+        reps = max(int(os.environ.get("HG_SCALING_REPEATS", "2")), 1)
         for mode in ("sketch", "search"):
-            # min over repeats: single-core walls of a few seconds are at
-            # the mercy of whatever else the box is doing; the minimum is
-            # the uncontended estimate for both configs
-            t1 = min(_run(1, mode, str(gdir), script) for _ in range(2))
-            t2 = min(_run(2, mode, str(gdir), script) for _ in range(2))
+            t1 = min(_run(1, mode, str(gdir), script) for _ in range(reps))
+            t2 = min(_run(2, mode, str(gdir), script) for _ in range(reps))
             out[f"{mode}_wall_1proc"] = round(t1, 3)
             out[f"{mode}_wall_2proc"] = round(t2, 3)
             # identical total workload => efficiency is the wall ratio;
@@ -180,7 +182,10 @@ def main():
             out[f"{mode}_eff"] = round(t1 / t2, 3) if t2 > 0 else None
     out["note"] = (
         "1 physical core: both processes timeshare it, so ideal "
-        "(serialization-free) efficiency is ~1.0, not 2x"
+        "(serialization-free) efficiency is ~1.0, not 2x; >1.0 means two "
+        "processes interleave each other's host-side pipeline bubbles "
+        "(and the 1-proc config pays 8 virtual devices vs 4), which is "
+        "fine — the failure signal is a ratio well BELOW 1"
     )
     print(json.dumps(out))
 
