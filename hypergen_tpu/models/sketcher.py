@@ -933,8 +933,14 @@ class Sketcher:
                 window.popleft()
                 for _ in range(min(self.collect_group, len(window)))
             ]
-            with timer.stage("collect+compress"):
+            # "collect" is the wait for the device pipeline of these
+            # batches — on a tunnel backend that is dominated by the
+            # serialized H2D upload of their inputs (compare the bench's
+            # effective_h2d rate against its relay microbenchmark), not
+            # by the D2H fetch itself
+            with timer.stage("collect"):
                 batches = self.collect_batches([h for _, h in group])
+            with timer.stage("compress"):
                 for (idxs, _), res_list in zip(group, batches):
                     for i, res in zip(idxs, res_list):
                         results[i] = self._to_filesketch(res, str(paths[i]))
