@@ -90,6 +90,26 @@ def test_sketch_files_group_drain_order(tmp_path):
         assert fs.hv_norm_2 == r["norm2"]
 
 
+def test_collect_batches_packed_path_interpret():
+    # the TPU production path: fused packed Pallas step under the fused
+    # collect (interpret mode lowers the same kernel logic on CPU)
+    rng = np.random.default_rng(12)
+    p = SketchParams(hv_d=HV_D, scaled=SCALED)
+    codes = _genomes(4, rng, bp=4500)
+    ref = _collect_single(
+        Sketcher(p, chunk_positions=2048, batch=2, use_pallas=False), codes
+    )
+    sk = Sketcher(
+        p, chunk_positions=2048, batch=2, use_pallas=True,
+        pallas_interpret=True, collect_group=2,
+    )
+    assert sk.packed_mode  # make sure this really is the packed path
+    handles = [sk.submit_batch(codes[i : i + 2]) for i in range(0, 4, 2)]
+    got = [r for batch in sk.collect_batches(handles) for r in batch]
+    for a, b in zip(ref, got):
+        _assert_same(a, b)
+
+
 def test_collect_batches_retry_on_fused_slice():
     # force an encode-cap overflow inside a fused group: a repeat-heavy
     # genome (all-A) occupies one batch; the retry must recompute ONLY
