@@ -350,7 +350,10 @@ def hash_packed_rows_pallas(
             unroll = max(
                 (d for d in range(1, 17) if T % d == 0), default=1
             )
-            if unroll < 4:  # nearly-prime T: deep unroll + tail still wins
+            # shallow best divisor (e.g. T=148 -> 4): deep unroll + tail
+            # still wins — the r3 chip sweep had u13 beating u4 by 0.35 ms
+            # per batch, and the tail costs one extra partial trip
+            if unroll < 8:
                 unroll = min(13, T)
     T_w = -(-(lsub + ksize - 1) // 16)
     iw, lw = C // 16, lsub // 16
