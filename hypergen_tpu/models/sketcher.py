@@ -198,18 +198,22 @@ def packed_row_words(n_chunks: int, chunk_positions: int) -> int:
 
 def packed_cells(chunk_positions: int) -> int:
     """Kernel cell count for the packed path (cells must divide C/16;
-    4096 is the ILP sweet spot — see hash_kernel.CELLS notes). 0 = C too
-    small/misaligned for the packed path.
+    2048 measured fastest at the production shape — see hash_kernel.CELLS
+    notes). 0 = C too small/misaligned for the packed path.
 
-    HG_PACKED_CELLS overrides the preference (perf experiments: fewer
-    cells = larger lsub = proportionally less k-1 halo duplication but
-    less lane ILP); outputs are bit-identical for any legal value."""
+    r4 chip sweep (profile_kernel_cells.py, A/B/B/A at C=2^17, k=21,
+    post-unroll): 4096 cells 7.05-7.16 ms / 2048 5.91-5.98 / 1024 6.33 for
+    the hash stage. Fewer cells = larger lsub = proportionally less k-1
+    halo duplication (38% of evals at lsub=32, 24% at 64) but less lane
+    ILP; post-unroll the kernel is VPU-issue-bound so the halo cut wins
+    down to 2048, then latency takes over. HG_PACKED_CELLS overrides the
+    preference; outputs are bit-identical for any legal value."""
     env = os.environ.get("HG_PACKED_CELLS", "")
     if env:
         c = int(env)
         if c % 128 == 0 and chunk_positions % (16 * c) == 0:
             return c
-    for c in (4096, 1024, 128):
+    for c in (2048, 4096, 1024, 128):
         if chunk_positions % (16 * c) == 0:
             return c
     return 0
