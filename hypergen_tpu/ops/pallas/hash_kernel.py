@@ -45,8 +45,13 @@ _SENT = np.uint32(0xFFFFFFFF)
 # cells=1024 every op touches exactly one VREG, so the long t1ha2 dependency
 # chain is latency-bound; at cells=4096 each op spans 4 VREGs, giving the
 # VPU 4 independent lanes of the chain to overlap. The k-1 warmup steps are
-# re-done per cell, so wider also means proportionally more halo work —
-# 4096 (lsub=C/4096) is the sweet spot for C >= 64K.
+# re-done per cell, so wider also means proportionally more halo work.
+# Post-unroll (r3) the kernel is VPU-issue-bound, and the r4 chip sweep
+# (profile_kernel_cells.py A/B/B/A at C=2^17, k=21) moved the sweet spot to
+# 2048 (hash stage 5.91-5.98 ms vs 7.05-7.16 at 4096, 6.33 at 1024): two
+# VREGs of ILP suffice once issue slots are the constraint, and lsub=64
+# halves the halo share (38% -> 24% of hash evals). Preference order lives
+# in models/sketcher.packed_cells().
 
 
 def _advance_hash(st, cb, *, ksize, seed, canonical, method):
