@@ -4,6 +4,7 @@ The same kernel is validated against the XLA path on real TPU hardware by
 the benchmark harness; here interpret mode pins the semantics in CI.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -312,3 +313,33 @@ def test_kernel_parity_wide_cells(cells):
         u.to_np_u64(h_pal)[np.asarray(keep_pal)],
         u.to_np_u64(h_ref)[np.asarray(keep_ref)],
     )
+
+
+def test_packed_cells_preference_and_cap_scaling():
+    """packed_cells prefers 2048 (r4 chip sweep) with legal fallbacks, and
+    the Sketcher's per-cell/extract caps scale with the chosen lsub."""
+    from hypergen_tpu.models.sketcher import (
+        Sketcher, packed_be_cap_default, packed_cells,
+    )
+    from hypergen_tpu.params import SketchParams
+
+    assert packed_cells(1 << 17) == 2048          # production C
+    assert packed_cells(1 << 15) == 2048          # smallest C with 2048
+    assert packed_cells(1 << 14) == 1024          # falls past 2048/4096
+    assert packed_cells(2048) == 128              # smallest packed bucket
+    assert packed_cells(1000) == 0                # misaligned -> no packed
+    # env override must respect legality (divides C/16, multiple of 128)
+    os.environ["HG_PACKED_CELLS"] = "4096"
+    try:
+        assert packed_cells(1 << 17) == 4096
+        assert packed_cells(1 << 14) == 1024      # 4096 illegal here
+    finally:
+        del os.environ["HG_PACKED_CELLS"]
+    # cap defaults follow lsub: plane-0 lambda doubles vs cells=4096 but
+    # stays far under the 128-slot block clamp at production scaled
+    be = packed_be_cap_default(1 << 17, 1500)
+    assert 8 <= be <= 128
+    sk = Sketcher(SketchParams(), batch=2, use_pallas=True)
+    assert sk.packed_mode
+    lsub = sk.C // packed_cells(sk.C)
+    assert sk.cell_cap >= 4 and sk.cell_cap <= lsub
