@@ -206,8 +206,12 @@ def bench_sketch(tmp: Path, sizes: dict):
     paths = _gen_uniform(
         tmp / "uniform", sizes["n_files"], sizes["genome_bp"], 100
     )
+    # warm files are same-length (same jit bucket) but DIFFERENT content:
+    # warming on paths[:2] would seed the relay's (executable, inputs)
+    # result cache with 2 of the timed genomes and inflate the headline
+    uwarm = _gen_uniform(tmp / "uniform_warm", 2, sizes["genome_bp"], 700)
     rate, dt, stages, h2d = _sketch_rate(
-        paths, SketchParams(), batch=sizes["batch"]
+        paths, SketchParams(), batch=sizes["batch"], warm_paths=uwarm
     )
     total = sum(stages.values()) or 1.0
     res["genomes_per_sec"] = rate
@@ -329,33 +333,72 @@ def bench_device():
     import profile_device_time as pdt
 
     out = {}
+    r1, r2 = pdt.R1, pdt.R2
+
+    def differenced(fn, ladder, rate_key, **kw):
+        """(t_R2-t_R1)/(R2-R1) can go NEGATIVE on short chains when the
+        relay's (executable, inputs) cache or a weather swing makes the
+        long chain land faster than the short one (observed live: NC=8
+        t2=0.045s t8=0.041s). A nonpositive rate means the measurement is
+        invalid, not that the chip ran backwards — climb the chain-length
+        ladder until the difference is positive, else give up (caller
+        falls back / omits the metric)."""
+        try:
+            for a, b in ladder:
+                pdt.R1, pdt.R2 = a, b
+                s = fn(**kw)
+                if s[rate_key] > 0:
+                    return s
+        finally:
+            pdt.R1, pdt.R2 = r1, r2
+        return None
+
     # NC=8 (1 Mbp genomes) keeps the chained program's remote load time
     # bounded; device throughput is ~linear in bp, so Mbp/s is the portable
-    # number. The fused packed step is the production path.
-    step = pdt.sketch_step_packed_device_time(NC=8)
+    # number. The fused packed step is the production path. Long chains
+    # (R=4/20) shrink the relay noise band to well under 1 ms and are the
+    # retry rung when the default short chain comes back nonpositive.
+    step = differenced(
+        pdt.sketch_step_packed_device_time, [(r1, r2), (4, 20)],
+        "mbp_per_s", NC=8,
+    )
+    # tightest measurement: production shape (8 x 4.19 Mbp), long chains
+    step32 = differenced(
+        pdt.sketch_step_packed_device_time, [(4, 20), (4, 28)],
+        "mbp_per_s", NC=32,
+    )
+    hash32 = differenced(
+        pdt.packed_hash_stage_device_time, [(4, 20), (4, 28)],
+        "mbp_per_s", NC=32,
+    )
+    if step is None and step32 is None:
+        raise RuntimeError("device differencing invalid at every chain len")
+    if step is None:  # NC=8 unusable: report the tighter NC=32 rate for both
+        out["device_step_nc8_fallback"] = "nc32"
+        step = step32
+    if step32 is None:
+        out["device_step_nc32_fallback"] = "nc8"
+        step32 = step
     out["device_step_mbp_per_sec"] = step["mbp_per_s"]
     out["device_step_genomes4m_per_sec"] = step["mbp_per_s"] / 4.194
-    # tightest measurement: production shape (8 x 4.19 Mbp), long chains
-    # (R=4/20 differencing shrinks the relay noise band to well under 1 ms)
-    r1, r2 = pdt.R1, pdt.R2
-    try:
-        pdt.R1, pdt.R2 = 4, 20
-        step32 = pdt.sketch_step_packed_device_time(NC=32)
-        hash32 = pdt.packed_hash_stage_device_time(NC=32)
-    finally:
-        pdt.R1, pdt.R2 = r1, r2
     out["device_step32_mbp_per_sec"] = step32["mbp_per_s"]
     out["device_step32_genomes4m_per_sec"] = step32["mbp_per_s"] / 4.194
-    dot = pdt.search_matmul_device_time()
+    dot = differenced(
+        pdt.search_matmul_device_time, [(r1, r2), (4, 20)], "int8_tops"
+    )
+    if dot is None:
+        raise RuntimeError("search-dot differencing invalid")
     out["device_search_int8_tops"] = dot["int8_tops"]
     # speed-of-light grading (BASELINE goal): measured / chip peak
     kind, peaks = _chip_peaks()
-    vpu_ops = hash32["positions_per_s"] * T1HA2_VPU_OPS_PER_POSITION
     out["device_chip_kind"] = kind
-    out["device_hash_vpu_ops_per_sec"] = vpu_ops
     if peaks:
         out["mfu_search_dot"] = dot["int8_tops"] / peaks["int8_tops"]
-        out["vpu_sol_fraction_hash"] = vpu_ops / peaks["vpu_ops_per_sec"]
+    if hash32 is not None:  # hash-stage SoL is an extra, not a gate
+        vpu_ops = hash32["positions_per_s"] * T1HA2_VPU_OPS_PER_POSITION
+        out["device_hash_vpu_ops_per_sec"] = vpu_ops
+        if peaks:
+            out["vpu_sol_fraction_hash"] = vpu_ops / peaks["vpu_ops_per_sec"]
     return out
 
 
@@ -564,10 +607,13 @@ def main():
             if "mfu_search_dot" in dev else None,
             "device_hash_vpu_ops_per_sec": round(
                 dev["device_hash_vpu_ops_per_sec"], 0
-            ),
+            ) if "device_hash_vpu_ops_per_sec" in dev else None,
             "vpu_sol_fraction_hash": round(dev["vpu_sol_fraction_hash"], 3)
             if "vpu_sol_fraction_hash" in dev else None,
         })
+        for k in ("device_step_nc8_fallback", "device_step_nc32_fallback"):
+            if k in dev:
+                extra[k] = dev[k]
     # measured same-pipeline CPU denominator next to the 50/s estimate
     # (r3 verdict item 5) and the pod-path serialization smoke test
     # (item 4) — both CPU-only subprocesses, immune to relay weather
