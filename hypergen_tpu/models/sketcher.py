@@ -32,6 +32,7 @@ import collections
 import functools
 import logging
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -292,6 +293,13 @@ def make_sketch_step(
     probe (packed path only, profiling support): stop the step early and
     return a scalar-reducible stand-in — "hash" (after the kernel),
     "extract" (after extraction + postfilter), "dedup" (after the sort).
+    probe="hashes" (any validity mode) is a PRODUCTION variant: skip the
+    encode and return the deduped survivor hashes themselves, fused with
+    the capacity meta into one int32 output [B, 2*E + 5] (hi | lo |
+    [occ, n_hashes, max_count, extra_count, 0]; non-unique/empty slots
+    carry the U64_MAX sentinel). The single-device tiled huge-genome path
+    unions these per-tile sets on host — dedup composes as set union and
+    the HV encode as a sum, so tiling is exact.
     """
     C = chunk_positions
     k = ksize
@@ -300,6 +308,30 @@ def make_sketch_step(
 
     def _finish(flat: U64, max_count, extra_count):
         """Shared back half: dedup, encode, fused output assembly."""
+
+        def _norm_max_count(mc):
+            if mc.ndim == 0:
+                return jnp.broadcast_to(mc, (batch,))
+            if mc.ndim > 1:  # per-block counts: reduce to per-genome
+                return jnp.max(mc, axis=-1)
+            return mc
+
+        def _hashes_out(hi, lo, mask, n_hashes, occ):
+            # fused int32 [B, 2E + 5]: masked sorted hashes + the SAME meta
+            # column order as the HV output so the host capacity ladder is
+            # shared (col 0 = norm2 slot, unused here)
+            hi_m = jax.lax.bitcast_convert_type(
+                jnp.where(mask, hi, _SENT), jnp.int32
+            )
+            lo_m = jax.lax.bitcast_convert_type(
+                jnp.where(mask, lo, _SENT), jnp.int32
+            )
+            meta = jnp.stack(
+                [jnp.zeros((batch,), jnp.int32), n_hashes,
+                 _norm_max_count(max_count), extra_count, occ], axis=-1,
+            )
+            return jnp.concatenate([hi_m, lo_m, meta], axis=-1)
+
         sorted_h, unique = _dedup_sorted_batched(flat)
         if probe == "dedup":
             return (
@@ -323,6 +355,8 @@ def make_sketch_step(
             sh = U64(sorted_h.hi[:, :E], sorted_h.lo[:, :E])
             un = unique[:, :E]
             n_hashes = jnp.sum(un.astype(jnp.int32), axis=-1)
+            if probe == "hashes":
+                return _hashes_out(sh.hi, sh.lo, un, n_hashes, occ)
             hv32 = encode_hv(sh, un, hv_d, block=encode_block)
         else:
             enc, n_hashes = compact_masked(sorted_h, unique, enc_cap)
@@ -330,16 +364,15 @@ def make_sketch_step(
                 jax.lax.broadcasted_iota(jnp.int32, (batch, enc_cap), 1)
                 < n_hashes[:, None]
             )
+            if probe == "hashes":
+                return _hashes_out(enc.hi, enc.lo, valid, n_hashes, occ)
             hv32 = encode_hv(enc, valid, hv_d, block=encode_block)
         hv16 = hv_to_i16(hv32)
         norm2 = hv_norm2_i32(hv16)
         # single fused output [B, D+10] i16: every output buffer is a
         # separate (expensive) D2H round trip through the TPU relay, so the
         # meta ints ride along bitcast into the hv row tail
-        if max_count.ndim == 0:
-            max_count = jnp.broadcast_to(max_count, norm2.shape)
-        elif max_count.ndim > 1:  # per-block counts: reduce to per-genome
-            max_count = jnp.max(max_count, axis=-1)
+        max_count = _norm_max_count(max_count)
         meta = jnp.stack(
             [norm2, n_hashes, max_count, extra_count, occ], axis=-1
         )
@@ -512,6 +545,27 @@ def _concat_outputs_jit(k: int):
     return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
 
 
+@functools.lru_cache(maxsize=16)
+def _encode_hashes_jit(hv_d: int, npad: int, encode_block: int):
+    """jit'ed final encode for the tiled huge-genome path: the host-merged
+    unique survivor list (sentinel-free, first n valid) -> (hv16 [D],
+    norm2). Bundling is a commutative sum over hashes, so encoding the
+    globally-unioned set in one dispatch is bit-identical to the fused
+    step's in-place encode. Keyed by the pow2-padded list length."""
+
+    def f(hi: jnp.ndarray, lo: jnp.ndarray, n: jnp.ndarray):
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1) < n
+        )
+        hv32 = encode_hv(
+            U64(hi[None, :], lo[None, :]), valid, hv_d, block=encode_block
+        )
+        hv16 = hv_to_i16(hv32)
+        return hv16[0], hv_norm2_i32(hv16)[0]
+
+    return jax.jit(f)
+
+
 class Sketcher:
     """Batched, pipelined genome sketcher with bucketed jit compilation.
 
@@ -531,6 +585,7 @@ class Sketcher:
         seqpar_min_chunks: int = 512,
         pallas_interpret: bool = False,
         collect_group: int = 4,
+        upload_threads: Optional[int] = None,
     ):
         params.validate()
         self.params = params
@@ -572,12 +627,29 @@ class Sketcher:
         # amortization; 1 disables fusion)
         self.collect_group = max(int(collect_group), 1)
         self._steps: Dict[Tuple, object] = {}
+        self._steps_lock = threading.Lock()
         # per-BUCKET encode-cap growth: one repeat-rich outlier genome must
         # not recompile and permanently inflate every other bucket's step
         self._enc_overflow_factor: Dict[int, int] = {}
         self._pack_pool = ThreadPoolExecutor(max_workers=min(self.batch, 8))
+        # dedicated uploader: relay uploads serialize (r4 measurement), so
+        # ONE background thread is the optimal H2D feeder — it keeps the
+        # wire streaming while the main thread parses and collects
+        # (r4 verdict item 1). 0 = synchronous dispatch (debug/comparison).
+        if upload_threads is None:
+            upload_threads = int(os.environ.get("HG_UPLOAD_THREADS", "1"))
+        self.upload_threads = int(upload_threads)
+        self._upload_pool = (
+            ThreadPoolExecutor(max_workers=1) if self.upload_threads else None
+        )
         self.last_stage_times: Dict[str, float] = {}
         self.last_h2d_bytes = 0
+        # wire accounting for the bench's irreducible-cost model: programs
+        # dispatched (each costs ~30 ms serialized relay overhead) and
+        # fused D2H fetches (~150 ms round trip each) in the last
+        # sketch_files call
+        self.last_program_dispatches = 0
+        self.last_d2h_fetches = 0
 
     # -- device step management ------------------------------------------
 
@@ -597,7 +669,8 @@ class Sketcher:
         return 2 * expected + 512
 
     def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None,
-                  validity: str = "runs", be_cap: Optional[int] = None):
+                  validity: str = "runs", be_cap: Optional[int] = None,
+                  probe: Optional[str] = None):
         p = self.params
         if chunk_cap:
             cap = chunk_cap
@@ -611,28 +684,36 @@ class Sketcher:
                 -(-6 * n_chunks * self.C // max(p.scaled, 1) // 256) * 256,
             )
         be = be_cap or self.be_cap
-        key = (n_chunks, cap, self._enc_cap(n_chunks), validity, be)
-        if key not in self._steps:
-            self._steps[key] = make_sketch_step(
-                ksize=p.ksize,
-                seed=p.seed,
-                threshold=p.threshold,
-                hv_d=p.hv_d,
-                batch=self.batch,
-                n_chunks=n_chunks,
-                chunk_positions=self.C,
-                chunk_cap=cap,
-                enc_cap=key[2],
-                canonical=p.canonical,
-                method=p.sketch_method,
-                encode_block=self.encode_block,
-                extract_block=self.extract_block,
-                use_pallas=self.use_pallas,
-                validity=validity,
-                pallas_interpret=self.pallas_interpret,
-                packed_be_cap=be,
-            )
-        return self._steps[key], cap, key[2], be
+        key = (n_chunks, cap, self._enc_cap(n_chunks), validity, be, probe)
+        with self._steps_lock:
+            step = self._steps.get(key)
+        if step is not None:
+            return step, cap, key[2], be
+        step = make_sketch_step(
+            ksize=p.ksize,
+            seed=p.seed,
+            threshold=p.threshold,
+            hv_d=p.hv_d,
+            batch=self.batch,
+            n_chunks=n_chunks,
+            chunk_positions=self.C,
+            chunk_cap=cap,
+            enc_cap=key[2],
+            canonical=p.canonical,
+            method=p.sketch_method,
+            encode_block=self.encode_block,
+            extract_block=self.extract_block,
+            use_pallas=self.use_pallas,
+            validity=validity,
+            pallas_interpret=self.pallas_interpret,
+            packed_be_cap=be,
+            probe=probe,
+        )
+        with self._steps_lock:
+            # a racing thread may have built the same key; keep one so every
+            # caller shares the same jit cache entry
+            step = self._steps.setdefault(key, step)
+        return step, cap, key[2], be
 
     def _bucket(self, L: int) -> int:
         n_pos = max(L - self.params.ksize + 1, 1)
@@ -895,6 +976,137 @@ class Sketcher:
         res = self.collect_batch(self.submit_batch_packed([g]))[0]
         return self._to_filesketch(res, str(path))
 
+    # -- single-device huge genomes: bounded fixed-shape tiling -------------
+
+    def _tile_genome(self, g: "PackedGenome", tile_chunks: int):
+        """Split a PackedGenome into fixed-shape tiles of tile_chunks
+        chunks, each covering a disjoint k-mer start range [t*TC, (t+1)*TC)
+        plus the k-1 halo. Tile t's PackedGenome has length
+        n_pos_tile + k - 1, byte-aligned packed2 slice (TC % 4 == 0), and
+        its parent runs clipped/shifted into tile coordinates."""
+        k = self.params.ksize
+        TC = tile_chunks * self.C
+        total_pos = max(g.length - k + 1, 0)
+        n_tiles = max(-(-total_pos // TC), 1)
+        tiles = []
+        for t in range(n_tiles):
+            start = t * TC
+            n_pos_t = min(total_pos - start, TC)
+            L_t = n_pos_t + k - 1
+            b0 = start // 4
+            p2 = g.packed2[b0 : b0 + -(-L_t // 4)]
+            lo = np.minimum(np.maximum(g.runs[:, 0] - start, 0), L_t)
+            hi = np.minimum(np.maximum(g.runs[:, 1] - start, 0), L_t)
+            keep = hi > lo
+            runs_t = np.stack(
+                [lo[keep], hi[keep]], axis=-1
+            ).astype(np.int32)
+            tiles.append(PackedGenome(p2, runs_t, L_t))
+        return tiles
+
+    def sketch_packed_tiled(
+        self, g: "PackedGenome", tile_chunks: int = 64
+    ) -> Dict[str, object]:
+        """Sketch ONE huge genome on ONE device in bounded memory.
+
+        On a single chip a >= seqpar_min_chunks genome would otherwise
+        compile a giant one-shot bucket (multi-GB relayout temporaries and
+        a fresh multi-minute compile per pow2 bucket). Instead: stream
+        fixed-shape tiles (batched `batch` per dispatch) through the
+        probe="hashes" step, union the per-tile survivor hash sets on the
+        host (dedup composes as set union across tiles), and encode the
+        global set in one dispatch (bundling is a sum) — bit-identical to
+        the one-shot step, asserted in tests/test_tiled_huge.py. Memory is
+        O(batch * tile_chunks * C) device-side and O(survivors) host-side.
+        The reference handles arbitrary length with the same chunk+halo
+        decomposition on one GPU (reference:src/cuda_kernel.cu:31,39-40).
+        """
+        k = self.params.ksize
+        tiles = self._tile_genome(g, tile_chunks)
+        all_hashes: List[np.ndarray] = []
+        for lo in range(0, len(tiles), self.batch):
+            group = tiles[lo : lo + self.batch]
+            all_hashes.extend(self._tile_group_hashes(group, tile_chunks))
+        if all_hashes:
+            merged = np.unique(np.concatenate(all_hashes))
+        else:
+            merged = np.zeros(0, dtype=np.uint64)
+        n = merged.shape[0]
+        npad = max(_next_pow2(n), 256)
+        buf = np.full(npad, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        buf[:n] = merged
+        hv16, norm2 = jax.device_get(
+            _encode_hashes_jit(self.params.hv_d, npad, self.encode_block)(
+                jnp.asarray((buf >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray((buf & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                jnp.int32(n),
+            )
+        )
+        return {
+            "hv": np.asarray(hv16), "norm2": int(norm2), "n_hashes": n,
+        }
+
+    def _tile_group_hashes(
+        self, group: List["PackedGenome"], tile_chunks: int
+    ) -> List[np.ndarray]:
+        """Run one batched probe="hashes" dispatch over up to `batch`
+        tiles; returns each tile's unique survivor hashes as host uint64.
+        Capacity overflows retry exactly like _finalize_batch."""
+        mode, *args = self._prepare_batch(group, tile_chunks)
+        step, chunk_cap, enc_cap, be_cap = self._get_step(
+            tile_chunks, validity=mode, probe="hashes"
+        )
+        out = np.asarray(
+            jax.device_get(step(*(jnp.asarray(a) for a in args)))
+        )
+        cells = packed_cells(self.C)
+        lsub = self.C // cells if cells else 0
+        for attempt in range(7):
+            meta = out[:, -5:]
+            n = len(group)
+            max_count = int(np.max(meta[:n, 2])) if n else 0
+            be_max = int(np.max(meta[:n, 3])) if n else 0
+            occ_max = int(np.max(meta[:n, 4])) if n else 0
+            n_hash_max = int(np.max(meta[:n, 1])) if n else 0
+            ok = (
+                max_count <= chunk_cap
+                and (
+                    occ_max <= enc_cap if mode == "packed"
+                    else n_hash_max <= enc_cap
+                )
+                and (mode != "packed" or be_max <= be_cap)
+            )
+            if ok:
+                E = (out.shape[1] - 5) // 2
+                res = []
+                for i in range(n):
+                    hi = out[i, :E].view(np.uint32).astype(np.uint64)
+                    lo = out[i, E : 2 * E].view(np.uint32).astype(np.uint64)
+                    h = (hi << np.uint64(32)) | lo
+                    res.append(h[h != np.uint64(0xFFFFFFFFFFFFFFFF)])
+                return res
+            if max_count > chunk_cap:
+                grown = _next_pow2(max_count)
+                chunk_cap = min(grown, lsub) if mode == "packed" else grown
+            if mode == "packed" and be_max > be_cap:
+                be_cap = min(max(be_cap * 2, _next_pow2(be_max)), 2048)
+            enc_over = occ_max if mode == "packed" else n_hash_max
+            if enc_over > enc_cap:
+                base = self._enc_cap_base(tile_chunks)
+                need = -(-enc_over // max(base, 1))
+                self._enc_overflow_factor[tile_chunks] = max(
+                    self._enc_overflow_factor.get(tile_chunks, 1) * 2,
+                    _next_pow2(need),
+                )
+            step, chunk_cap, enc_cap, be_cap = self._get_step(
+                tile_chunks, chunk_cap, validity=mode, be_cap=be_cap,
+                probe="hashes",
+            )
+            out = np.asarray(
+                jax.device_get(step(*(jnp.asarray(a) for a in args)))
+            )
+        raise RuntimeError("tiled sketch capacity retry limit exceeded")
+
     def sketch_files(
         self,
         paths: Sequence,
@@ -929,14 +1141,27 @@ class Sketcher:
         window = collections.deque()
         timer = StageTimer()
         h2d_bytes = 0
+        n_programs = 0  # step + concat dispatches (relay overhead units)
+        n_fetches = 0
 
         def drain_group():
             # fuse up to collect_group in-flight outputs into ONE D2H fetch
             # (tunnel round trips are latency-bound, see collect_batches)
+            nonlocal h2d_bytes, n_programs, n_fetches
             group = [
                 window.popleft()
                 for _ in range(min(self.collect_group, len(window)))
             ]
+            n_programs += len(group) + (1 if len(group) > 1 else 0)
+            n_fetches += 1
+            # resolve uploader futures first: "upload_wait" is time the
+            # main thread stalls on the background H2D feeder (wire-bound)
+            with timer.stage("upload_wait"):
+                group = [
+                    (idxs, h.result() if hasattr(h, "result") else h)
+                    for idxs, h in group
+                ]
+            h2d_bytes += sum(h["h2d_bytes"] for _, h in group)
             # "collect" is the wait for the device pipeline of these
             # batches — on a tunnel backend that is dominated by the
             # serialized H2D upload of their inputs (compare the bench's
@@ -951,12 +1176,21 @@ class Sketcher:
                         pb.inc()
 
         def dispatch(group):
-            nonlocal h2d_bytes
+            # hand the batch to the dedicated uploader thread: relay
+            # uploads serialize, so one background feeder keeps the wire
+            # streaming while this thread parses/buckets/collects. The
+            # window bounds queued-but-unfetched batches exactly as before
+            # (memory stays O(window * batch) PackedGenomes).
             idxs = [i for i, _ in group]
+            genomes = [g for _, g in group]
             with timer.stage("pack+dispatch"):
-                handle = self.submit_batch_packed([g for _, g in group])
+                if self._upload_pool is not None:
+                    handle = self._upload_pool.submit(
+                        self.submit_batch_packed, genomes
+                    )
+                else:
+                    handle = self.submit_batch_packed(genomes)
                 window.append((idxs, handle))
-                h2d_bytes += handle["h2d_bytes"]
             if len(window) >= pipeline_depth + self.collect_group - 1:
                 drain_group()
 
@@ -985,22 +1219,28 @@ class Sketcher:
                     g = fut.result()
                 fill()
                 bucket = self._bucket(g.length)
-                if (
-                    bucket >= self.seqpar_min_chunks
-                    and jax.device_count() > 1
-                ):
-                    # huge genome: shard its chunk axis over the mesh
-                    # instead of monopolizing a giant batched bucket
-                    from hypergen_tpu.io.fastx import codes_from_packed
-                    from hypergen_tpu.parallel.seqpar import (
-                        sketch_codes_seqpar,
-                    )
+                if bucket >= self.seqpar_min_chunks:
+                    if jax.device_count() > 1:
+                        # huge genome: shard its chunk axis over the mesh
+                        # instead of monopolizing a giant batched bucket
+                        from hypergen_tpu.io.fastx import codes_from_packed
+                        from hypergen_tpu.parallel.seqpar import (
+                            sketch_codes_seqpar,
+                        )
 
-                    res = sketch_codes_seqpar(
-                        codes_from_packed(g), self.params,
-                        chunk_positions=self.C,
-                        encode_block=self.encode_block,
-                    )
+                        res = sketch_codes_seqpar(
+                            codes_from_packed(g), self.params,
+                            chunk_positions=self.C,
+                            encode_block=self.encode_block,
+                        )
+                    else:
+                        # single device: stream fixed-shape tiles with a
+                        # host survivor-set merge instead of compiling a
+                        # giant one-shot bucket (r4 verdict item 4)
+                        res = self.sketch_packed_tiled(
+                            g,
+                            tile_chunks=max(1, self.seqpar_min_chunks // 8),
+                        )
                     results[i] = self._to_filesketch(res, str(paths[i]))
                     pb.inc()
                     continue
@@ -1017,6 +1257,8 @@ class Sketcher:
         # and the effective H2D rate through the tunnel)
         self.last_stage_times = dict(timer.totals)
         self.last_h2d_bytes = h2d_bytes
+        self.last_program_dispatches = n_programs
+        self.last_d2h_fetches = n_fetches
         if os.environ.get("HG_STAGE_TIMING"):
             log.info("sketch stage timing:\n%s", timer.report())
         return [results[i] for i in range(len(paths))]

@@ -110,6 +110,39 @@ def test_collect_batches_packed_path_interpret():
         _assert_same(a, b)
 
 
+@pytest.mark.parametrize("threads", [0, 1])
+def test_sketch_files_uploader_thread_parity(tmp_path, threads):
+    # the dedicated background uploader (r5) must be a pure scheduling
+    # change: byte-identical sketches and input-order output vs the
+    # synchronous dispatch path, including partial batches and the
+    # window-bound drain interleaving
+    rng = np.random.default_rng(11)
+    p = SketchParams(hv_d=HV_D, scaled=SCALED)
+    codes = _genomes(9, rng, bp=2800)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    paths = []
+    for i, c in enumerate(codes):
+        f = tmp_path / f"u{i}.fna"
+        f.write_bytes(b">g\n" + b2a[c].tobytes() + b"\n")
+        paths.append(f)
+    ref = _collect_single(
+        Sketcher(p, chunk_positions=1024, batch=2), codes
+    )
+    sk = Sketcher(
+        p, chunk_positions=1024, batch=2, collect_group=2,
+        upload_threads=threads,
+    )
+    out = sk.sketch_files(paths, progress=False, pipeline_depth=2)
+    assert len(out) == 9
+    assert sk.last_h2d_bytes > 0  # accounting moved to drain; must survive
+    assert "upload_wait" in sk.last_stage_times
+    for fs, r in zip(out, ref):
+        assert np.array_equal(
+            np.asarray(fs.decompress(), np.int16), r["hv"]
+        )
+        assert fs.hv_norm_2 == r["norm2"]
+
+
 def test_collect_batches_retry_on_fused_slice():
     # force an encode-cap overflow inside a fused group: a repeat-heavy
     # genome (all-A) occupies one batch; the retry must recompute ONLY
