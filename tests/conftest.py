@@ -37,10 +37,25 @@ def pytest_collection_modifyitems(config, items):
     import jax
     import pytest
 
+    # `slow` tests (multi-process pods, interpret-mode dense-capacity
+    # kernel sweeps, multi-Mbp tiling) run in the TPU lane
+    # (HG_TEST_TPU=1), on HG_TEST_SLOW=1, or via an explicit -m
+    # expression; the default CPU lane skips them so `pytest tests/ -q`
+    # stays a <15-min iteration loop (r4 verdict item 7)
+    run_slow = (
+        os.environ.get("HG_TEST_TPU") == "1"
+        or os.environ.get("HG_TEST_SLOW") == "1"
+        or bool(config.getoption("-m"))
+    )
     have = jax.device_count()
     for item in items:
         m = item.get_closest_marker("needs_devices")
         if m and have < m.args[0]:
             item.add_marker(pytest.mark.skip(
                 reason=f"needs {m.args[0]} devices, backend has {have}"
+            ))
+        if not run_slow and item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.skip(
+                reason="slow lane: set HG_TEST_SLOW=1 / HG_TEST_TPU=1 "
+                       "or pass -m slow"
             ))
