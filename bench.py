@@ -180,41 +180,60 @@ def _gen_mixed(d: Path, n: int, seed0: int, bp_range) -> list:
 
 
 def _sketch_rate(paths, params, batch, warm_paths=None):
-    """(genomes/s, wall, stage_times, h2d_bytes) for sketch_files.
+    """(genomes/s, wall, stage_times, h2d_bytes, wire_counts).
 
     warm_paths (same length buckets, DIFFERENT content — the relay caches
     (executable, inputs), so re-timing identical files would lie) are
-    sketched first untimed to absorb compiles."""
+    sketched first untimed to absorb compiles; pass [] to skip warming
+    (already-warm repeat runs)."""
     from hypergen_tpu.models.sketcher import Sketcher
 
     sk = Sketcher(params, batch=batch)
-    sk.sketch_files(
-        warm_paths if warm_paths is not None else paths[:2], progress=False
-    )
+    warm = warm_paths if warm_paths is not None else paths[:2]
+    if warm:
+        sk.sketch_files(warm, progress=False)
     t0 = time.monotonic()
     out = sk.sketch_files(paths, progress=False)
     dt = time.monotonic() - t0
     assert len(out) == len(paths)
-    return len(paths) / dt, dt, dict(sk.last_stage_times), sk.last_h2d_bytes
+    wire = {
+        "programs": sk.last_program_dispatches,
+        "fetches": sk.last_d2h_fetches,
+    }
+    return (
+        len(paths) / dt, dt, dict(sk.last_stage_times), sk.last_h2d_bytes,
+        wire,
+    )
 
 
 def bench_sketch(tmp: Path, sizes: dict):
     from hypergen_tpu.params import SketchParams
 
     res = {}
-    # --- headline: uniform genomes, default params -------------------------
-    paths = _gen_uniform(
-        tmp / "uniform", sizes["n_files"], sizes["genome_bp"], 100
-    )
-    # warm files are same-length (same jit bucket) but DIFFERENT content:
-    # warming on paths[:2] would seed the relay's (executable, inputs)
-    # result cache with 2 of the timed genomes and inflate the headline
+    # --- headline: uniform genomes, default params, MEDIAN OF 3 runs over
+    # DISTINCT file sets (re-timing the same files would hit the relay's
+    # (executable, inputs) result cache and inflate reps 2-3; per-rep rates
+    # ship in the JSON so relay weather is visible, r4 verdict item 5) ----
     uwarm = _gen_uniform(tmp / "uniform_warm", 2, sizes["genome_bp"], 700)
-    rate, dt, stages, h2d = _sketch_rate(
-        paths, SketchParams(), batch=sizes["batch"], warm_paths=uwarm
-    )
+    reps = []
+    for rep in range(3):
+        paths = _gen_uniform(
+            tmp / f"uniform{rep}", sizes["n_files"], sizes["genome_bp"],
+            100 + 1000 * rep,
+        )
+        # rep 0 warms on dedicated same-bucket different-content files;
+        # later reps are already compile-warm
+        r, dt, stages, h2d, wire = _sketch_rate(
+            paths, SketchParams(), batch=sizes["batch"],
+            warm_paths=uwarm if rep == 0 else [],
+        )
+        reps.append((r, dt, stages, h2d, wire))
+    reps_rates = [r for r, *_ in reps]
+    mid = int(np.argsort(reps_rates)[len(reps_rates) // 2])
+    rate, dt, stages, h2d, wire = reps[mid]
     total = sum(stages.values()) or 1.0
     res["genomes_per_sec"] = rate
+    res["genomes_per_sec_reps"] = [round(r, 3) for r in reps_rates]
     res["genome_bp"] = sizes["genome_bp"]
     res["bp_per_sec"] = rate * sizes["genome_bp"]
     res["sketch_wall_s"] = dt
@@ -227,6 +246,8 @@ def bench_sketch(tmp: Path, sizes: dict):
     # is upload-bound and the chip is idle waiting on the wire)
     res["h2d_mbytes"] = round(h2d / 1e6, 1)
     res["effective_h2d_mbytes_per_sec"] = round(h2d / dt / 1e6, 1)
+    res["wire_programs"] = wire["programs"]
+    res["wire_fetches"] = wire["fetches"]
     # --- realism: mixed lengths + GC bias + N runs (BASELINE config 3).
     # Warm set = same seeds+900 offset -> same length profile (same jit
     # buckets), different content (defeats the relay result cache).
@@ -237,14 +258,14 @@ def bench_sketch(tmp: Path, sizes: dict):
     mpaths, mixed_bp = _gen_mixed(
         tmp / "mixed", sizes["n_files_mixed"], 1900, sizes["mixed_bp_range"]
     )
-    mrate, mdt, _, _ = _sketch_rate(
+    mrate, mdt, _, _, _ = _sketch_rate(
         mpaths, SketchParams(), batch=sizes["mixed_batch"], warm_paths=wpaths
     )
     res["genomes_per_sec_mixed"] = mrate
     res["bp_per_sec_mixed"] = mixed_bp / mdt
     # --- D=8192 -------------------------------------------------------------
     n8 = sizes["n_files_d8192"]
-    drate, _, _, _ = _sketch_rate(
+    drate, _, _, _, _ = _sketch_rate(
         paths[:n8], SketchParams(hv_d=8192), batch=sizes["mixed_batch"],
         warm_paths=paths[n8 : n8 + 2],
     )
@@ -288,21 +309,32 @@ def bench_h2d_rate():
     }
 
 
-# t1ha2 over u64-as-16-bit-limbs costs ~this many VPU vector ops per k-mer
-# position (mul128_const = 4x mul32x32_64 via 16-bit limbs + the
-# mixup64/final64 chain + rolling window upkeep; instruction-count analysis
-# recorded in CLAUDE.md r2, cross-checked by the measured issue-bound rate)
-T1HA2_VPU_OPS_PER_POSITION = 300
+# Vector lane-ops per HASHED k-mer position, counted from the traced jaxpr
+# of one kernel position step (scripts/audit_kernel_ops.py: base extract +
+# _advance_hash + slot emit at k=21, canonical t1ha2, cap=4; t1ha2 alone is
+# 584 of these — mul 76 / addsub 190 / shift 135 / cmp 97 / logic 94 /
+# convert 89 / select 20). r1-r4 used an ASSUMED 300, which understated the
+# work 2.3x and made the kernel look 4x off speed-of-light (r4 verdict
+# item 2); the audit puts the measured 5.9 ms hash stage at ~0.85 of the
+# 4-ALU VPU issue peak — i.e. the kernel is issue-bound, as the r2
+# analysis argued.
+T1HA2_VPU_OPS_PER_POSITION = 701
+# each cell re-hashes its k-1 halo: hashed positions = useful * (lsub+k-1)/
+# lsub at the production kernel shape (cells=2048 -> lsub=64, k=21)
+HASH_HALO_FACTOR = (64 + 21 - 1) / 64
 
 # per-chip peak rates from public spec sheets; used ONLY to grade measured
 # numbers as a fraction of speed-of-light (BASELINE "speed-of-light" goal).
-# vpu_ops = 8 sublanes x 128 lanes x 4 ALUs x clock x cores (approximate —
-# public docs don't spell VPU issue width per generation; treat the SoL
-# fraction as order-of-magnitude honest, the measured ops/s as exact)
+# vpu_ops = 8 sublanes x 128 lanes x 4 ALUs x clock x cores. Clocks are
+# back-derived from the public bf16 TFLOPs (e.g. v5e: 197e12 bf16 =
+# 4 MXUs x 16384 MACs x 2 x 1.5e9), so the v5e VPU peak is 4096 x 1.5e9 =
+# 6.1e12 lane-ops/s (public docs don't spell VPU issue width per
+# generation; treat the SoL fraction as order-of-magnitude honest, the
+# measured ops/s as exact).
 CHIP_PEAKS = {
     "TPU v4": {"int8_tops": 275.0, "vpu_ops_per_sec": 2 * 4096 * 1.05e9},
-    "TPU v5e": {"int8_tops": 394.0, "vpu_ops_per_sec": 4096 * 1.70e9},
-    "TPU v5 lite": {"int8_tops": 394.0, "vpu_ops_per_sec": 4096 * 1.70e9},
+    "TPU v5e": {"int8_tops": 394.0, "vpu_ops_per_sec": 4096 * 1.50e9},
+    "TPU v5 lite": {"int8_tops": 394.0, "vpu_ops_per_sec": 4096 * 1.50e9},
     "TPU v5p": {"int8_tops": 918.0, "vpu_ops_per_sec": 2 * 4096 * 1.75e9},
     "TPU v5": {"int8_tops": 918.0, "vpu_ops_per_sec": 2 * 4096 * 1.75e9},
     "TPU v6e": {"int8_tops": 1836.0, "vpu_ops_per_sec": 4096 * 1.85e9},
@@ -389,13 +421,33 @@ def bench_device():
     if dot is None:
         raise RuntimeError("search-dot differencing invalid")
     out["device_search_int8_tops"] = dot["int8_tops"]
+    # the 3-matmul Karatsuba "small" split is what run_search_cli actually
+    # uses for production-scale HVs (|hv| <= SMALL_SPLIT_MAX — all genomes
+    # <~9 Mbp at scaled=1500; routing pinned in tests/test_search_routing);
+    # report it beside the any-int16 4-pass split (r4 verdict item 3)
+    dot_small = differenced(
+        pdt.search_matmul_device_time, [(r1, r2), (4, 20)], "int8_tops",
+        mode="small",
+    )
+    if dot_small is not None:
+        out["device_search_int8_tops_small"] = dot_small["int8_tops"]
+        out["device_search_pairs_per_sec_small"] = dot_small["pairs_per_s"]
     # speed-of-light grading (BASELINE goal): measured / chip peak
     kind, peaks = _chip_peaks()
     out["device_chip_kind"] = kind
     if peaks:
         out["mfu_search_dot"] = dot["int8_tops"] / peaks["int8_tops"]
+        if dot_small is not None:
+            out["mfu_search_dot_small"] = (
+                dot_small["int8_tops"] / peaks["int8_tops"]
+            )
     if hash32 is not None:  # hash-stage SoL is an extra, not a gate
-        vpu_ops = hash32["positions_per_s"] * T1HA2_VPU_OPS_PER_POSITION
+        # positions_per_s counts USEFUL positions; the kernel hashes
+        # halo-duplicated ones too, and those issue the same instructions
+        vpu_ops = (
+            hash32["positions_per_s"] * HASH_HALO_FACTOR
+            * T1HA2_VPU_OPS_PER_POSITION
+        )
         out["device_hash_vpu_ops_per_sec"] = vpu_ops
         if peaks:
             out["vpu_sol_fraction_hash"] = vpu_ops / peaks["vpu_ops_per_sec"]
@@ -534,7 +586,7 @@ def main():
     bp_label = f"{sizes['genome_bp'] / 1e6:g}Mbp"
     out = {
         "metric": f"genomes sketched/s/chip ({bp_label}, k=21, s=1500, "
-                  "D=4096, files on disk end-to-end)",
+                  "D=4096, files on disk end-to-end, median of 3)",
         "value": value,
         "unit": "genomes/s",
         # normalized to the r1-r3 headline unit (4.0 Mbp genomes; rate is
@@ -549,6 +601,7 @@ def main():
     if sk:
         extra.update({
             "bp_per_sec": round(sk["bp_per_sec"], 0),
+            "genomes_per_sec_reps": sk["genomes_per_sec_reps"],
             "stage_shares": sk["stage_shares"],
             "h2d_mbytes": sk["h2d_mbytes"],
             "effective_h2d_mbytes_per_sec":
@@ -567,13 +620,43 @@ def main():
     if h2d:
         extra.update(h2d)
         ceil = h2d.get("tunnel_ceiling_genomes4m_per_sec")
+        rate_mbs = h2d.get("relay_h2d_mbytes_per_sec")
         if sk and ceil:
             # how close the end-to-end pipeline runs to the tunnel's
             # information-theoretic limit (2 bits/bp of random DNA is
             # incompressible); ~1.0 means the chip is upload-starved and
-            # the headline measures the relay, not the framework
-            extra["fraction_of_tunnel_ceiling"] = round(
-                (sk["bp_per_sec"] / 4.194e6) / ceil, 2
+            # the headline measures the relay, not the framework.
+            # PROMOTED to a first-class field beside vs_baseline: through
+            # a serialized ~30-45 MB/s tunnel this physical ratio is the
+            # stable signal — the absolute genomes/s swings 2-4x with
+            # relay weather (r4 verdict item 5)
+            frac = round((sk["bp_per_sec"] / 4.194e6) / ceil, 2)
+            extra["fraction_of_tunnel_ceiling"] = frac
+            out["fraction_of_tunnel_ceiling"] = frac
+            out["relay_h2d_mbytes_per_sec"] = rate_mbs
+        if sk and rate_mbs:
+            # wire-model accounting: the relay serializes uploads, result
+            # fetches AND per-program dispatch overhead on one pipe
+            # (scripts/profile_relay_overlap.py: fetch-under-upload wall ==
+            # solo-sum), so the irreducible wall per run is
+            #   upload_bytes/rate + ~30 ms * programs + ~150 ms * fetches.
+            # fraction_of_wire_model ~1.0 means the pipeline keeps the
+            # pipe busy every second it exists; raising it further needs
+            # fewer programs/fetches per genome, not better overlap.
+            wire_s = (
+                sk["h2d_mbytes"] / rate_mbs
+                + 0.03 * sk["wire_programs"]
+                + 0.15 * sk["wire_fetches"]
+            )
+            model_rate = sizes["n_files"] / wire_s
+            extra["wire_model"] = {
+                "programs": sk["wire_programs"],
+                "fetches": sk["wire_fetches"],
+                "irreducible_wall_s": round(wire_s, 2),
+                "genomes_per_sec_at_model": round(model_rate, 1),
+            }
+            extra["fraction_of_wire_model"] = round(
+                sk["genomes_per_sec"] / model_rate, 2
             )
     if dev:
         extra.update({
@@ -601,10 +684,18 @@ def main():
             "device_search_int8_tops": round(
                 dev["device_search_int8_tops"], 1
             ),
+            "device_search_int8_tops_small": round(
+                dev["device_search_int8_tops_small"], 1
+            ) if "device_search_int8_tops_small" in dev else None,
+            "device_search_mpairs_per_sec_small": round(
+                dev["device_search_pairs_per_sec_small"] / 1e6, 0
+            ) if "device_search_pairs_per_sec_small" in dev else None,
             # BASELINE speed-of-light grading: measured / public chip peak
             "device_chip_kind": dev["device_chip_kind"],
             "mfu_search_dot": round(dev["mfu_search_dot"], 3)
             if "mfu_search_dot" in dev else None,
+            "mfu_search_dot_small": round(dev["mfu_search_dot_small"], 3)
+            if "mfu_search_dot_small" in dev else None,
             "device_hash_vpu_ops_per_sec": round(
                 dev["device_hash_vpu_ops_per_sec"], 0
             ) if "device_hash_vpu_ops_per_sec" in dev else None,
