@@ -59,13 +59,18 @@ REF_EST_GENOMES_PER_SEC = 50.0
 # same pipeline at sizes a single XLA-CPU core finishes in minutes — the
 # point of the CPU line is rc=0 + honest shape-labeled numbers, not speed.
 TPU_SIZES = dict(
-    genome_bp=4_000_000, n_files=32, batch=8, n_files_mixed=16,
-    mixed_batch=8, n_files_d8192=8, mixed_bp_range=(1e6, 4e6),
+    # batch=16/group=8 measured best under the background uploader
+    # (scripts/profile_uploader.py + interleaved geometry A/B, r5):
+    # fewer relay programs + fewer fetches per genome on a serialized pipe
+    genome_bp=4_000_000, n_files=32, batch=16, collect_group=8,
+    n_files_mixed=16, mixed_batch=8, n_files_d8192=8,
+    mixed_bp_range=(1e6, 4e6),
     ani_db=49152, ani_queries=2048, ani_repeats=3, ani_table_db=4096,
 )
 CPU_SIZES = dict(
-    genome_bp=1_000_000, n_files=4, batch=2, n_files_mixed=4,
-    mixed_batch=2, n_files_d8192=2, mixed_bp_range=(2e5, 8e5),
+    genome_bp=1_000_000, n_files=4, batch=2, collect_group=4,
+    n_files_mixed=4, mixed_batch=2, n_files_d8192=2,
+    mixed_bp_range=(2e5, 8e5),
     ani_db=8192, ani_queries=512, ani_repeats=1, ani_table_db=1024,
 )
 
@@ -179,7 +184,7 @@ def _gen_mixed(d: Path, n: int, seed0: int, bp_range) -> list:
     return paths, total_bp
 
 
-def _sketch_rate(paths, params, batch, warm_paths=None):
+def _sketch_rate(paths, params, batch, warm_paths=None, group=None):
     """(genomes/s, wall, stage_times, h2d_bytes, wire_counts).
 
     warm_paths (same length buckets, DIFFERENT content — the relay caches
@@ -188,7 +193,8 @@ def _sketch_rate(paths, params, batch, warm_paths=None):
     (already-warm repeat runs)."""
     from hypergen_tpu.models.sketcher import Sketcher
 
-    sk = Sketcher(params, batch=batch)
+    kw = {"collect_group": group} if group else {}
+    sk = Sketcher(params, batch=batch, **kw)
     warm = warm_paths if warm_paths is not None else paths[:2]
     if warm:
         sk.sketch_files(warm, progress=False)
@@ -214,7 +220,12 @@ def bench_sketch(tmp: Path, sizes: dict):
     # DISTINCT file sets (re-timing the same files would hit the relay's
     # (executable, inputs) result cache and inflate reps 2-3; per-rep rates
     # ship in the JSON so relay weather is visible, r4 verdict item 5) ----
-    uwarm = _gen_uniform(tmp / "uniform_warm", 2, sizes["genome_bp"], 700)
+    # warm with 2 BATCHES worth of files so the fused-concat program shape
+    # compiles outside the timed region (2 files would warm the step but
+    # leave the K=2 concat to cold-compile inside rep 0)
+    uwarm = _gen_uniform(
+        tmp / "uniform_warm", 2 * sizes["batch"], sizes["genome_bp"], 700
+    )
     reps = []
     for rep in range(3):
         paths = _gen_uniform(
@@ -226,6 +237,7 @@ def bench_sketch(tmp: Path, sizes: dict):
         r, dt, stages, h2d, wire = _sketch_rate(
             paths, SketchParams(), batch=sizes["batch"],
             warm_paths=uwarm if rep == 0 else [],
+            group=sizes.get("collect_group"),
         )
         reps.append((r, dt, stages, h2d, wire))
     reps_rates = [r for r, *_ in reps]

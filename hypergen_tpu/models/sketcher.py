@@ -579,12 +579,12 @@ class Sketcher:
         params: SketchParams,
         chunk_positions: int = 1 << 17,
         encode_block: int = 512,
-        batch: int = 4,
+        batch: int = 8,
         use_pallas: Optional[bool] = None,
         run_cap: int = 512,
         seqpar_min_chunks: int = 512,
         pallas_interpret: bool = False,
-        collect_group: int = 4,
+        collect_group: int = 8,
         upload_threads: Optional[int] = None,
     ):
         params.validate()
@@ -833,10 +833,12 @@ class Sketcher:
         Device-side concat of the K step outputs -> single device_get ->
         host split; per-batch capacity checks/retries run on the slices
         (retries are rare and refetch individually). Groups larger than
-        collect_group chunk; chunks of 2..collect_group-1 pad by repeating
-        the last output so a single concat program (keyed by K) serves
-        every group size — a fresh remote compile costs far more than
-        fetching a few duplicate 263 KB rows."""
+        collect_group chunk; partial chunks pad by repeating the last
+        output up to the next POWER OF TWO, so at most log2(G)+1 concat
+        programs ever compile while padding waste stays under 2x — a
+        fresh remote compile costs far more than fetching a duplicate
+        263 KB row, but padding a 2-batch chunk to a fixed G=8 would
+        quadruple every fetch."""
         results: List[List[Dict[str, object]]] = []
         G = max(int(getattr(self, "collect_group", 4)), 1)
         for lo in range(0, len(handles), G):
@@ -845,9 +847,10 @@ class Sketcher:
             if len(outs) == 1:
                 fetched = [np.asarray(jax.device_get(outs[0]))]
             else:
-                padded = outs + [outs[-1]] * (G - len(outs))
+                K = _next_pow2(len(outs))
+                padded = outs + [outs[-1]] * (K - len(outs))
                 big = np.asarray(
-                    jax.device_get(_concat_outputs_jit(G)(*padded))
+                    jax.device_get(_concat_outputs_jit(K)(*padded))
                 )
                 B = outs[0].shape[0]
                 fetched = [big[i * B : (i + 1) * B] for i in range(len(outs))]

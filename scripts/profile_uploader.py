@@ -77,13 +77,17 @@ def main():
           flush=True)
     with tempfile.TemporaryDirectory(prefix="hgup_") as td:
         d = Path(td)
-        # one warm pass per (batch) compile bucket, untimed
-        warm = _gen(d / "warm", 2, 90000)
-        seen_batches = set()
+        # one FULL-shape warm pass per (batch, group) config, untimed:
+        # a 2-file warm misses the fused-concat program shapes, which
+        # would then cold-compile inside the timed region
+        seed = 50_000
+        seen = set()
         for threads, batch, group in CONFIGS:
-            if batch not in seen_batches:
-                run_config(warm, threads, batch, group)
-                seen_batches.add(batch)
+            if (batch, group) not in seen:
+                wp = _gen(d / f"warm_b{batch}g{group}", n, seed)
+                seed += n
+                run_config(wp, threads, batch, group)
+                seen.add((batch, group))
         seed = 0
         for rep in range(2):  # A/B interleaved twice: weather visibility
             for threads, batch, group in CONFIGS:
