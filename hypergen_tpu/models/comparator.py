@@ -71,6 +71,9 @@ class Comparator:
         self.compact_cap0 = 1 << 14  # initial survivor cap per tile
         self._dot = dot_i16_any
         self._presplit = jax.jit(presplit_rows)
+        from hypergen_tpu.ops.ani import presplit_rows_small
+
+        self._presplit_small = jax.jit(presplit_rows_small)
         # LRU of (array_ref, bound): holding the array keeps id() valid, so
         # the cache MUST stay small — streamed dist calls dot_mode once per
         # ~64 MB query chunk and an unbounded cache would pin every chunk
@@ -113,15 +116,28 @@ class Comparator:
 
         Keeping the reference DB resident on device is the search-engine
         pattern: per query batch only the queries cross H2D. On the MXU
-        path tiles are stored pre-split into int8 planes (presplit_rows):
-        the elementwise int16->int8 split dominates the dot's non-MXU time
-        and must not repeat per query tile. Same device bytes either way.
+        path tiles are stored pre-split into int8 planes: SmallSplit
+        (h, l, h+l — one MXU pass fewer per query, r5 chip A/B: ~12%
+        faster wall) when the rows fit SMALL_SPLIT_MAX, else the 4-way
+        (hi, lo, row) split. The elementwise int16->int8 split dominates
+        the dot's non-MXU time and must not repeat per query tile; an
+        over-bound query batch against SmallSplit tiles rebuilds exact
+        rows on device (dot_i16_any fallback). Same device bytes per tile
+        either way.
         """
+        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX, abs_bound
+
         tm = self.tile_m
+        small = self.use_mxu is True and abs_bound(hv) <= SMALL_SPLIT_MAX
         out = []
         for mi in range(0, hv.shape[0], tm):
             t = jnp.asarray(_pad_rows(hv[mi : mi + tm], tm))
-            out.append(self._presplit(t) if self.use_mxu else t)
+            if small:
+                out.append(self._presplit_small(t))
+            elif self.use_mxu:
+                out.append(self._presplit(t))
+            else:
+                out.append(t)
         return out
 
     def dot_tiles(
@@ -291,12 +307,23 @@ class Comparator:
         """Device-resident (hv, norm) row tiles for ani_pairs_thresholded.
 
         MXU path: hv tiles stored pre-split (see preload_rows)."""
+        from hypergen_tpu.ops.ani import SMALL_SPLIT_MAX, abs_bound
+
         tm = self.tile_m
+        small = (
+            self.use_mxu is True and abs_bound(db.hvs) <= SMALL_SPLIT_MAX
+        )
         out = []
         for mi in range(0, db.hvs.shape[0], tm):
             t = jnp.asarray(_pad_rows(db.hvs[mi : mi + tm], tm))
+            if small:
+                hv_dev = self._presplit_small(t)
+            elif self.use_mxu:
+                hv_dev = self._presplit(t)
+            else:
+                hv_dev = t
             out.append((
-                self._presplit(t) if self.use_mxu else t,
+                hv_dev,
                 jnp.asarray(_pad_rows(db.norms[mi : mi + tm], tm)),
             ))
         return out

@@ -24,10 +24,23 @@ in float32.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class SmallSplit(NamedTuple):
+    """A resident operand pre-split for the 3-matmul "small" mode: int8
+    planes h, l and their (int8-exact) sum — one MXU pass fewer than the
+    4-way split AND no per-query r-side elementwise work. Only valid when
+    the operand passed the |v| <= SMALL_SPLIT_MAX check (caller-enforced,
+    see presplit_rows_small)."""
+
+    h: jnp.ndarray
+    l: jnp.ndarray
+    hl: jnp.ndarray
 
 
 def split_i16_to_i8(x: jnp.ndarray):
@@ -77,6 +90,35 @@ def presplit_rows(r: jnp.ndarray):
         jnp.sum(rl.astype(jnp.int32), axis=-1) << 7
     )
     return rh, rl, row
+
+
+def presplit_rows_small(r: jnp.ndarray) -> SmallSplit:
+    """Precompute a resident operand's 3-matmul "small" planes.
+
+    Caller must have verified abs_bound(r) <= SMALL_SPLIT_MAX. Same bytes
+    as the int16 original; h, l AND h+l all fit int8 by the bound."""
+    h, l = _split_small(r)
+    return SmallSplit(h, l, h + l)
+
+
+def dot_i16_presplit_small(r: SmallSplit, q: jnp.ndarray) -> jnp.ndarray:
+    """3-matmul exact dot with the r side pre-split by presplit_rows_small.
+
+    q must also satisfy |q| <= SMALL_SPLIT_MAX (callers route here only
+    after checking both sides, mirroring _resolve_mxu)."""
+    qh, ql = _split_small(q)
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    hh = d(r.h, qh)
+    ll = d(r.l, ql)
+    mm = d(r.hl, qh + ql)
+    return (hh << 12) + ((mm - hh - ll) << 6) + ll
 
 
 def dot_i16_presplit(
@@ -178,7 +220,20 @@ def ani_from_dot_matrix(
 
 @functools.partial(jax.jit, static_argnames=("use_mxu",))
 def dot_i16_any(r, q: jnp.ndarray, use_mxu=True) -> jnp.ndarray:
-    """dot_i16_exact that also accepts a presplit r: (hi, lo, row) tuple."""
+    """dot_i16_exact that also accepts a presplit r: a SmallSplit (3-matmul
+    resident planes) or a (hi, lo, row) 4-way-split tuple.
+
+    A SmallSplit r with use_mxu != "small" (a rare over-bound query batch
+    against a small-resident DB) rebuilds the exact int16 rows on device
+    (x = 64*h + l, lossless by construction of _split_small) and takes the
+    requested mode — correctness never depends on the resident layout."""
+    if isinstance(r, SmallSplit):
+        if use_mxu == "small":
+            return dot_i16_presplit_small(r, q)
+        x = (
+            64 * r.h.astype(jnp.int32) + r.l.astype(jnp.int32)
+        ).astype(jnp.int16)
+        return dot_i16_exact(x, q, use_mxu=use_mxu)
     if isinstance(r, tuple):
         return dot_i16_presplit(*r, q)
     return dot_i16_exact(r, q, use_mxu=use_mxu)

@@ -61,6 +61,101 @@ class TestResolveMxu:
         np.testing.assert_array_equal(got, exp)
 
 
+class TestSmallPresplit:
+    """Resident-DB SmallSplit planes (h, l, h+l): one MXU pass fewer per
+    query and no per-query r-side split — must stay exact, including the
+    rebuild fallback when an over-bound query batch meets a small-resident
+    DB (r5)."""
+
+    def _rand(self, rng, m, bound):
+        return rng.integers(-bound, bound + 1, size=(m, 128)).astype(np.int16)
+
+    def test_presplit_small_exact(self):
+        from hypergen_tpu.ops.ani import dot_i16_any, presplit_rows_small
+
+        rng = np.random.default_rng(3)
+        r = self._rand(rng, 16, SMALL_SPLIT_MAX)
+        q = self._rand(rng, 8, SMALL_SPLIT_MAX)
+        r[0, :] = SMALL_SPLIT_MAX
+        q[0, :] = -SMALL_SPLIT_MAX
+        got = np.asarray(
+            dot_i16_any(presplit_rows_small(r), q, use_mxu="small")
+        )
+        exp = np.asarray(dot_i16_exact(r, q, use_mxu=False))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_smallsplit_fallback_rebuilds_exact_rows(self):
+        # big-valued queries against a SmallSplit-resident DB: dot_i16_any
+        # must rebuild exact int16 rows and take the 4-way path
+        from hypergen_tpu.ops.ani import dot_i16_any, presplit_rows_small
+
+        rng = np.random.default_rng(4)
+        r = self._rand(rng, 16, SMALL_SPLIT_MAX)
+        q = self._rand(rng, 8, 32000)  # way over SMALL_SPLIT_MAX
+        got = np.asarray(dot_i16_any(presplit_rows_small(r), q, use_mxu=True))
+        exp = np.asarray(dot_i16_exact(r, q, use_mxu=False))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_comparator_preload_routes_small(self):
+        from hypergen_tpu.models.comparator import Comparator
+        from hypergen_tpu.ops.ani import SmallSplit
+
+        rng = np.random.default_rng(5)
+        r = self._rand(rng, 24, 500)
+        q = self._rand(rng, 10, 500)
+        comp = Comparator(ksize=21, tile_m=16, tile_n=8, use_mxu=True)
+        blocks = comp.preload_rows(r)
+        assert all(isinstance(b, SmallSplit) for b in blocks)
+        got = {}
+        for mi, nj, tile in comp.dot_tiles(r, q, r_blocks=blocks):
+            got[(mi, nj)] = tile
+        plain = Comparator(ksize=21, tile_m=16, tile_n=8, use_mxu=False)
+        for mi, nj, tile in plain.dot_tiles(r, q):
+            np.testing.assert_array_equal(got[(mi, nj)], tile)
+
+    def test_comparator_preload_big_values_stay_four_way(self):
+        from hypergen_tpu.models.comparator import Comparator
+        from hypergen_tpu.ops.ani import SmallSplit
+
+        rng = np.random.default_rng(6)
+        r = self._rand(rng, 8, 30000)
+        comp = Comparator(ksize=21, tile_m=8, tile_n=8, use_mxu=True)
+        blocks = comp.preload_rows(r)
+        assert not any(isinstance(b, SmallSplit) for b in blocks)
+
+    def test_preload_ref_thresholded_small(self):
+        # the dist -a path with a small-resident ref must stay row-exact
+        from hypergen_tpu.io.sketch_db import ShardedDB
+        from hypergen_tpu.models.comparator import Comparator
+        from hypergen_tpu.ops.ani import SmallSplit
+
+        rng = np.random.default_rng(7)
+        D = 128
+        hv = rng.integers(-60, 60, size=(20, D)).astype(np.int16)
+        norms = np.sum(hv.astype(np.int64) ** 2, axis=1).astype(np.int32)
+
+        def db(h, n):
+            return ShardedDB(
+                ksize=21, scaled=1500, canonical=True, seed=1, hv_d=D,
+                names=[f"g{i}" for i in range(h.shape[0])], hvs=h, norms=n,
+            )
+
+        comp = Comparator(ksize=21, tile_m=8, tile_n=8, use_mxu=True)
+        blocks = comp.preload_ref(db(hv, norms))
+        assert all(isinstance(b[0], SmallSplit) for b in blocks)
+        got = comp.ani_pairs_thresholded(
+            db(hv, norms), db(hv, norms), symmetric=True, threshold=0.0,
+            ref_blocks=blocks,
+        )
+        exp = Comparator(
+            ksize=21, tile_m=8, tile_n=8, use_mxu=False
+        ).ani_pairs_thresholded(
+            db(hv, norms), db(hv, norms), symmetric=True, threshold=0.0,
+        )
+        for a, b in zip(got, exp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestCliRouting:
     def _sketch(self, tmp_path):
         data = tmp_path / "data"
