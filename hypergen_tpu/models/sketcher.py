@@ -670,8 +670,9 @@ class Sketcher:
 
     def _get_step(self, n_chunks: int, chunk_cap: Optional[int] = None,
                   validity: str = "runs", be_cap: Optional[int] = None,
-                  probe: Optional[str] = None):
+                  probe: Optional[str] = None, rows: Optional[int] = None):
         p = self.params
+        rows = rows or self.batch
         if chunk_cap:
             cap = chunk_cap
         elif validity == "packed":
@@ -684,7 +685,9 @@ class Sketcher:
                 -(-6 * n_chunks * self.C // max(p.scaled, 1) // 256) * 256,
             )
         be = be_cap or self.be_cap
-        key = (n_chunks, cap, self._enc_cap(n_chunks), validity, be, probe)
+        key = (
+            n_chunks, cap, self._enc_cap(n_chunks), validity, be, probe, rows,
+        )
         with self._steps_lock:
             step = self._steps.get(key)
         if step is not None:
@@ -694,7 +697,7 @@ class Sketcher:
             seed=p.seed,
             threshold=p.threshold,
             hv_d=p.hv_d,
-            batch=self.batch,
+            batch=rows,
             n_chunks=n_chunks,
             chunk_positions=self.C,
             chunk_cap=cap,
@@ -719,7 +722,8 @@ class Sketcher:
         n_pos = max(L - self.params.ksize + 1, 1)
         return _next_pow2(-(-n_pos // self.C))
 
-    def _prepare_batch(self, genomes: List["PackedGenome"], n_chunks: int):
+    def _prepare_batch(self, genomes: List["PackedGenome"], n_chunks: int,
+                       rows: Optional[int] = None):
         """Assemble bucket-padded device inputs from parse-time PackedGenomes.
 
         Genomes arrive already 2-bit packed with their full invalid-run
@@ -728,20 +732,27 @@ class Sketcher:
         Falls back to a dense validity bitmask when a genome's run list
         exceeds run_cap (never drops data).
 
+        rows: device batch rows to assemble (default self.batch). Partial
+        flush groups dispatch with rows = next_pow2(len(genomes)): padding
+        rows are pure upload bytes on a serialized ~tens-of-MB/s wire, so
+        a 3-genome straggler must not ship a 16-row buffer (r5; at most
+        log2(batch)+1 step programs per bucket ever compile).
+
         Returns (validity_mode, *step_args).
         """
         k = self.params.ksize
+        rows = rows or self.batch
         if self.packed_mode and all(
             g.runs.shape[0] <= self.run_cap for g in genomes
         ):
             # fused packed path: u32 words + raw run lists + k-mer counts
             W = packed_row_words(n_chunks, self.C)
-            buf = np.zeros((self.batch, W * 4), dtype=np.uint8)
+            buf = np.zeros((rows, W * 4), dtype=np.uint8)
             runs = np.full(
-                (self.batch, self.run_cap, 2), np.int32(0x7FFFFFFF),
+                (rows, self.run_cap, 2), np.int32(0x7FFFFFFF),
                 dtype=np.int32,
             )
-            n_pos = np.zeros(self.batch, dtype=np.int32)
+            n_pos = np.zeros(rows, dtype=np.int32)
             for i, g in enumerate(genomes):
                 nb = min(g.packed2.shape[0], W * 4)
                 buf[i, :nb] = g.packed2[:nb]
@@ -763,11 +774,11 @@ class Sketcher:
                         [r, np.array([[n, L_pad]], np.int32)]
                     )
             adj.append(r)
-        p2 = np.zeros((self.batch, L_pad // 4), dtype=np.uint8)
+        p2 = np.zeros((rows, L_pad // 4), dtype=np.uint8)
         for i, g in enumerate(genomes):
             p2[i, : g.packed2.shape[0]] = g.packed2
         if max(r.shape[0] for r in adj) <= self.run_cap:
-            runs = np.zeros((self.batch, self.run_cap, 2), dtype=np.int32)
+            runs = np.zeros((rows, self.run_cap, 2), dtype=np.int32)
             # Mark ONLY rows beyond the real batch fully invalid.  Seeding
             # every row and relying on real genomes to overwrite silently
             # emptied any genome with an empty adjusted run list (reachable
@@ -778,7 +789,7 @@ class Sketcher:
             for i, r in enumerate(adj):
                 runs[i, : r.shape[0]] = r
             return "runs", p2, runs
-        pv = np.zeros((self.batch, L_pad // 8), dtype=np.uint8)
+        pv = np.zeros((rows, L_pad // 8), dtype=np.uint8)
         for i, (g, r) in enumerate(zip(genomes, adj)):
             valid = np.zeros(L_pad, dtype=bool)
             valid[: min(g.length, L_pad)] = True
@@ -790,16 +801,25 @@ class Sketcher:
     # -- public API --------------------------------------------------------
 
     def submit_batch_packed(self, genomes: List["PackedGenome"]):
-        """Dispatch up to `batch` same-bucket PackedGenomes in one call."""
+        """Dispatch up to `batch` same-bucket PackedGenomes in one call.
+
+        Partial groups dispatch with next-pow2 device rows: padding rows
+        are real upload bytes through the serialized relay wire, so a
+        straggler flush must not ship a full-batch buffer (waste < 2x,
+        at most log2(batch)+1 row variants per bucket compile)."""
         if not 1 <= len(genomes) <= self.batch:
             raise ValueError(f"batch size must be in [1, {self.batch}]")
         n_chunks = max(self._bucket(g.length) for g in genomes)
-        mode, *args = self._prepare_batch(genomes, n_chunks)
-        step, cap, enc_cap, be_cap = self._get_step(n_chunks, validity=mode)
+        rows = min(self.batch, _next_pow2(len(genomes)))
+        mode, *args = self._prepare_batch(genomes, n_chunks, rows=rows)
+        step, cap, enc_cap, be_cap = self._get_step(
+            n_chunks, validity=mode, rows=rows
+        )
         out = step(*(jnp.asarray(a) for a in args))
         return {
             "out": out,
             "n": len(genomes),
+            "rows": rows,
             "args": args,
             "n_chunks": n_chunks,
             "cap": cap,
@@ -852,8 +872,12 @@ class Sketcher:
                 big = np.asarray(
                     jax.device_get(_concat_outputs_jit(K)(*padded))
                 )
-                B = outs[0].shape[0]
-                fetched = [big[i * B : (i + 1) * B] for i in range(len(outs))]
+                # row counts can differ per handle (partial flush groups
+                # dispatch next-pow2 rows): split by cumulative offsets
+                offs = np.cumsum([0] + [o.shape[0] for o in outs])
+                fetched = [
+                    big[offs[i] : offs[i + 1]] for i in range(len(outs))
+                ]
             results.extend(
                 self._finalize_batch(h, o) for h, o in zip(chunk, fetched)
             )
@@ -940,7 +964,8 @@ class Sketcher:
                     _next_pow2(need),
                 )
             step, chunk_cap, enc_cap, be_cap = self._get_step(
-                handle["n_chunks"], chunk_cap, validity=mode, be_cap=be_cap
+                handle["n_chunks"], chunk_cap, validity=mode, be_cap=be_cap,
+                rows=handle.get("rows"),
             )
             hv, meta = split_step_output(
                 jax.device_get(
@@ -1055,9 +1080,10 @@ class Sketcher:
         """Run one batched probe="hashes" dispatch over up to `batch`
         tiles; returns each tile's unique survivor hashes as host uint64.
         Capacity overflows retry exactly like _finalize_batch."""
-        mode, *args = self._prepare_batch(group, tile_chunks)
+        rows = min(self.batch, _next_pow2(len(group)))
+        mode, *args = self._prepare_batch(group, tile_chunks, rows=rows)
         step, chunk_cap, enc_cap, be_cap = self._get_step(
-            tile_chunks, validity=mode, probe="hashes"
+            tile_chunks, validity=mode, probe="hashes", rows=rows
         )
         out = np.asarray(
             jax.device_get(step(*(jnp.asarray(a) for a in args)))
@@ -1103,7 +1129,7 @@ class Sketcher:
                 )
             step, chunk_cap, enc_cap, be_cap = self._get_step(
                 tile_chunks, chunk_cap, validity=mode, be_cap=be_cap,
-                probe="hashes",
+                probe="hashes", rows=rows,
             )
             out = np.asarray(
                 jax.device_get(step(*(jnp.asarray(a) for a in args)))

@@ -143,6 +143,41 @@ def test_sketch_files_uploader_thread_parity(tmp_path, threads):
         assert fs.hv_norm_2 == r["norm2"]
 
 
+def test_partial_batch_dispatches_pow2_rows():
+    # a 3-genome flush at batch=16 must ship a 4-row buffer, not 16:
+    # padding rows are real upload bytes on the serialized relay wire
+    rng = np.random.default_rng(13)
+    p = SketchParams(hv_d=HV_D, scaled=SCALED)
+    codes = _genomes(3, rng, bp=2600)
+    ref = _collect_single(Sketcher(p, chunk_positions=1024, batch=1), codes)
+    sk = Sketcher(p, chunk_positions=1024, batch=16)
+    h = sk.submit_batch(codes)
+    assert h["rows"] == 4
+    full_rows_bytes = h["h2d_bytes"] * 4  # rows scale the payload linearly
+    sk_small = Sketcher(p, chunk_positions=1024, batch=4)
+    assert sk_small.submit_batch(codes)["h2d_bytes"] == h["h2d_bytes"]
+    assert full_rows_bytes > h["h2d_bytes"]
+    got = sk.collect_batch(h)
+    for a, b in zip(ref, got):
+        _assert_same(a, b)
+
+
+def test_collect_batches_mixed_row_counts():
+    # fused collect over handles with DIFFERENT device row counts (a full
+    # batch + a pow2 partial): the concat split must use per-handle offsets
+    rng = np.random.default_rng(14)
+    p = SketchParams(hv_d=HV_D, scaled=SCALED)
+    codes = _genomes(3, rng, bp=2200)
+    ref = _collect_single(Sketcher(p, chunk_positions=1024, batch=1), codes)
+    sk = Sketcher(p, chunk_positions=1024, batch=2, collect_group=2)
+    h_full = sk.submit_batch(codes[:2])   # rows = 2
+    h_part = sk.submit_batch(codes[2:])   # rows = 1
+    assert h_full["rows"] == 2 and h_part["rows"] == 1
+    got = [r for batch in sk.collect_batches([h_full, h_part]) for r in batch]
+    for a, b in zip(ref, got):
+        _assert_same(a, b)
+
+
 def test_collect_batches_retry_on_fused_slice():
     # force an encode-cap overflow inside a fused group: a repeat-heavy
     # genome (all-A) occupies one batch; the retry must recompute ONLY
