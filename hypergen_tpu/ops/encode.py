@@ -41,18 +41,72 @@ def _expand_bits(w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
     return bits.astype(jnp.int8).reshape(bits.shape[:-2] + (-1,))
 
 
-@functools.partial(jax.jit, static_argnames=("hv_d", "block"))
+def _csa_block_counts(
+    w_hi: jnp.ndarray, w_lo: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-dimension bit counts of a block via a carry-save adder tree.
+
+    w_hi/w_lo: uint32 [B, n, W] wyrng word halves (n a power of two);
+    valid: bool [B, n]. Returns int32 [B, W*64] column sums in the same
+    dim order as _expand_bits (word i -> dims i*64+j, lo bits j<32 first).
+
+    Instead of expanding every word to hv_d int8 bit lanes and widening to
+    int32 (~5 VPU ops per hash*dim), the block axis is reduced with bitwise
+    full adders on the packed u32 words: level t of the tree merges pairs of
+    t-bit bit-sliced counters at ~5 ops per plane, so the whole reduction
+    costs ~sum(5t/2^t) ~ 10 ops per hash per u32 plane (~0.3 ops per
+    hash*dim). The per-bit expansion then runs once per block over the
+    log2(n)+1 counter planes rather than over all n words. Exact integer
+    arithmetic, bit-identical to the expand-and-sum formulation.
+    """
+    B, n, W = w_lo.shape
+    if n & (n - 1):
+        raise ValueError("CSA block length must be a power of two")
+    words = jnp.concatenate([w_lo, w_hi], axis=-1)  # [B, n, 2W]
+    words = jnp.where(valid[..., None], words, jnp.uint32(0))
+    planes = [words]  # planes[t] holds bit t of the running column counts
+    while planes[0].shape[1] > 1:
+        a = [p[:, 0::2] for p in planes]
+        b = [p[:, 1::2] for p in planes]
+        out = []
+        carry = None
+        for pa, pb in zip(a, b):
+            if carry is None:  # half adder at the lowest level
+                out.append(pa ^ pb)
+                carry = pa & pb
+            else:  # full adder: sum = a^b^c, carry = maj(a, b, c)
+                t = pa ^ pb
+                out.append(t ^ carry)
+                carry = (pa & pb) | (carry & t)
+        out.append(carry)
+        planes = out
+    counts = None
+    for t, p in enumerate(planes):
+        bits = ((p[:, 0, :, None] >> _BIT_SHIFTS) & np.uint32(1)).astype(
+            jnp.int32
+        )
+        contrib = bits << t
+        counts = contrib if counts is None else counts + contrib
+    c_lo, c_hi = counts[:, :W], counts[:, W:]  # [B, W, 32] each
+    return jnp.concatenate([c_lo, c_hi], axis=-1).reshape(B, W * 64)
+
+
+@functools.partial(jax.jit, static_argnames=("hv_d", "block", "csa"))
 def encode_hv(
     h: U64,
     valid: jnp.ndarray,
     hv_d: int,
     block: int = 256,
+    csa: bool | None = None,
 ) -> jnp.ndarray:
     """Bundle hashes into an int32 HV (wrap to int16 at the end for parity).
 
     h: U64 [B, N] (padded hash buffers); valid: bool [B, N].
     Returns int32 [B, hv_d] = 2*sum(bits) - n_valid per row.
     Processes hashes in blocks to bound the [B, block, hv_d] bit tensor.
+    csa: None = auto (CSA column counters whenever block is a power of
+    two); True/False force the path (CSA requires pow2 block). Both paths
+    are bit-identical; the flag exists for A/B measurement.
     """
     if hv_d % 64 != 0:
         raise ValueError("hv_d must be a multiple of 64")
@@ -70,11 +124,18 @@ def encode_hv(
         N += pad
     n_blocks = N // block
 
+    if csa is None:
+        csa = (block & (block - 1)) == 0
+    elif csa and block & (block - 1):
+        raise ValueError("csa=True requires a power-of-two block")
+
     def body(i, acc):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * block, block, axis=1)
         hb = U64(sl(h.hi), sl(h.lo))
         vb = sl(valid)
         w_hi, w_lo = wyrng_words_from_hash(hb, offsets)  # [B, block, W]
+        if csa:
+            return acc + _csa_block_counts(w_hi, w_lo, vb)
         bits = _expand_bits(w_hi, w_lo)  # [B, block, hv_d] int8
         masked = bits * vb[..., None].astype(jnp.int8)
         return acc + jnp.sum(masked.astype(jnp.int32), axis=1)

@@ -254,6 +254,26 @@ class TestEncode:
         exp = orp.encode_hash_hd(hashes.tolist(), hv_d)
         np.testing.assert_array_equal(np.asarray(got), exp)
 
+    def test_csa_matches_expand_path(self):
+        """Pow2 blocks route through the carry-save-adder column counter;
+        non-pow2 blocks keep the expand-and-sum path. Both must agree
+        bit-exactly for any valid pattern (incl. all-invalid rows)."""
+        B, n, hv_d = 3, 700, 4096
+        h = as_pairs(rand_u64(B * n).reshape(B, n))
+        valid = rng.random((B, n)) < 0.8
+        valid[1, :] = False
+        v = jnp.asarray(valid)
+        ref = np.asarray(encode_hv(h, v, hv_d, block=100))  # expand path
+        assert (ref[1] == 0).all()
+        for blk in (64, 256, 512, 1024):
+            got = np.asarray(encode_hv(h, v, hv_d, block=blk))  # CSA path
+            np.testing.assert_array_equal(got, ref)
+        # forced paths at the same pow2 block must agree too
+        a = np.asarray(encode_hv(h, v, hv_d, block=256, csa=True))
+        b = np.asarray(encode_hv(h, v, hv_d, block=256, csa=False))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, ref)
+
     def test_norm2(self):
         hv = rng.integers(-300, 300, size=(2, 512)).astype(np.int16)
         got = np.asarray(hv_norm2_i32(jnp.asarray(hv)))
