@@ -331,9 +331,15 @@ def bench_h2d_rate():
 # 4-ALU VPU issue peak — i.e. the kernel is issue-bound, as the r2
 # analysis argued.
 T1HA2_VPU_OPS_PER_POSITION = 701
-# each cell re-hashes its k-1 halo: hashed positions = useful * (lsub+k-1)/
-# lsub at the production kernel shape (cells=2048 -> lsub=64, k=21)
-HASH_HALO_FACTOR = (64 + 21 - 1) / 64
+# r5 warm-split kernel: the k-1 halo positions per cell run the 73-op
+# roll-only warm-up (no t1ha2), so the effective factor on useful positions
+# is 1 + roll_ops/full_ops * (k-1)/lsub at the production shape
+# (cells=2048 -> lsub=64, k=21), not the old full-body (lsub+k-1)/lsub.
+# Both constants come from scripts/audit_kernel_ops.py.
+T1HA2_ROLL_OPS_PER_POSITION = 73
+HASH_HALO_FACTOR = 1 + (
+    T1HA2_ROLL_OPS_PER_POSITION / T1HA2_VPU_OPS_PER_POSITION
+) * (21 - 1) / 64
 
 # per-chip peak rates from public spec sheets; used ONLY to grade measured
 # numbers as a fraction of speed-of-light (BASELINE "speed-of-light" goal).

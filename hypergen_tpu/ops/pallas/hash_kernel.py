@@ -54,18 +54,18 @@ _SENT = np.uint32(0xFFFFFFFF)
 # in models/sketcher.packed_cells().
 
 
-def _advance_hash(st, cb, *, ksize, seed, canonical, method):
-    """One rolling-window step, shared by BOTH kernels (the parity-critical
-    t1ha2/mmhash window math must exist exactly once): locals in, locals
-    out, so callers can unroll several positions between VMEM round trips.
+def _roll_window(st, cb, *, ksize, method):
+    """Window-maintenance half of one rolling step: shift the incoming base
+    into the 2-bit fwd/rc keys and (t1ha2) the ASCII byte windows. No hash —
+    the k-1 warm-up positions per cell need only this (~1/6 the ops of the
+    full step), so the kernels run it bare until the first full window.
 
     st = (f2, r2, fw, rw): 2-bit fwd/rc keys (U64) + fwd/rc ASCII u32
     words. cb: uint32 (sub, 128) 2-bit base code of the incoming position.
-    Returns (st', h).
+    Returns st'.
     """
     k = ksize
     n_u32 = (k + 3) // 4
-    n_words = (k + 7) // 8
     top_word_mask = np.uint32((1 << (8 * (k - 4 * (n_u32 - 1)))) - 1)
     kmer_mask = (1 << (2 * k)) - 1  # rolling fwd shifts in stale high bits
     kmer_hi_mask = np.uint32(kmer_mask >> 32)
@@ -107,14 +107,25 @@ def _advance_hash(st, cb, *, ksize, seed, canonical, method):
         nrw[0] = nrw[0] | a_r
         nrw[n_u32 - 1] = nrw[n_u32 - 1] & top_word_mask
         fw, rw = nfw, nrw
+    return (f2, r2, fw, rw)
+
+
+def _hash_window(st, shape, *, ksize, seed, canonical, method):
+    """Hash half of one rolling step: canonical-strand select + t1ha2 (or
+    mmhash) over the current full window. `shape` is the cell tile shape
+    (for the non-canonical zero mask)."""
+    k = ksize
+    n_u32 = (k + 3) // 4
+    n_words = (k + 7) // 8
+    f2, r2, fw, rw = st
 
     if canonical:
         is_rc = u.lt(r2, f2)
     else:
-        is_rc = jnp.zeros(cb.shape, dtype=bool)
+        is_rc = jnp.zeros(shape, dtype=bool)
 
     if method == "t1ha2":
-        zero = jnp.zeros(cb.shape, dtype=jnp.uint32)
+        zero = jnp.zeros(shape, dtype=jnp.uint32)
         sel = [jnp.where(is_rc, rw[q], fw[q]) for q in range(n_u32)]
         words = []
         for wq in range(n_words):
@@ -125,7 +136,20 @@ def _advance_hash(st, cb, *, ksize, seed, canonical, method):
     else:  # mmhash on the canonical 2-bit key
         key = u.select(is_rc, r2, f2) if canonical else f2
         h = mm_hash64(key)
-    return (f2, r2, fw, rw), h
+    return h
+
+
+def _advance_hash(st, cb, *, ksize, seed, canonical, method):
+    """One full rolling-window step, shared by BOTH kernels (the
+    parity-critical t1ha2/mmhash window math must exist exactly once):
+    locals in, locals out, so callers can unroll several positions between
+    VMEM round trips. Returns (st', h)."""
+    st = _roll_window(st, cb, ksize=ksize, method=method)
+    h = _hash_window(
+        st, cb.shape, ksize=ksize, seed=seed, canonical=canonical,
+        method=method,
+    )
+    return st, h
 
 
 def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
@@ -139,33 +163,16 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
     n_u32 = (k + 3) // 4
     state_ref[:] = jnp.zeros_like(state_ref)
 
-    def body(t, _):
-        run = state_ref[0].astype(jnp.int32)
-        st = (
+    def load_state():
+        return (
             U64(state_ref[1], state_ref[2]),
             U64(state_ref[3], state_ref[4]),
             [state_ref[5 + q] for q in range(n_u32)],
             [state_ref[5 + n_u32 + q] for q in range(n_u32)],
         )
-        c = codes_ref[0, t].astype(jnp.uint32)
-        valid = c < 4
-        cb = c & np.uint32(3)
-        run = jnp.where(valid, run + 1, 0)
-        st, h = _advance_hash(
-            st, cb, ksize=ksize, seed=seed, canonical=canonical,
-            method=method,
-        )
+
+    def store_state(run, st):
         f2, r2, fw, rw = st
-
-        keep = (run >= k) & u.lt_const(h, threshold)
-        out_hi = jnp.where(keep, h.hi, _SENT)
-        out_lo = jnp.where(keep, h.lo, _SENT)
-
-        @pl.when(t >= k - 1)
-        def _():
-            out_hi_ref[0, t - (k - 1)] = out_hi
-            out_lo_ref[0, t - (k - 1)] = out_lo
-
         state_ref[0] = run.astype(jnp.uint32)
         state_ref[1], state_ref[2] = f2.hi, f2.lo
         state_ref[3], state_ref[4] = r2.hi, r2.lo
@@ -173,9 +180,37 @@ def _rolling_kernel(codes_ref, out_hi_ref, out_lo_ref, state_ref, *, ksize,
             for q in range(n_u32):
                 state_ref[5 + q] = fw[q]
                 state_ref[5 + n_u32 + q] = rw[q]
+
+    def step(t):
+        run = state_ref[0].astype(jnp.int32)
+        c = codes_ref[0, t].astype(jnp.uint32)
+        valid = c < 4
+        cb = c & np.uint32(3)
+        run = jnp.where(valid, run + 1, 0)
+        return run, cb
+
+    # warm-up: window fill only — the first k-1 positions never store
+    def warm_body(t, _):
+        run, cb = step(t)
+        store_state(run, _roll_window(
+            load_state(), cb, ksize=ksize, method=method))
         return None
 
-    jax.lax.fori_loop(0, lsub + k - 1, body, None)
+    jax.lax.fori_loop(0, k - 1, warm_body, None)
+
+    def body(t, _):
+        run, cb = step(t)
+        st, h = _advance_hash(
+            load_state(), cb, ksize=ksize, seed=seed, canonical=canonical,
+            method=method,
+        )
+        keep = (run >= k) & u.lt_const(h, threshold)
+        out_hi_ref[0, t - (k - 1)] = jnp.where(keep, h.hi, _SENT)
+        out_lo_ref[0, t - (k - 1)] = jnp.where(keep, h.lo, _SENT)
+        store_state(run, st)
+        return None
+
+    jax.lax.fori_loop(k - 1, lsub + k - 1, body, None)
 
 
 def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
@@ -223,34 +258,42 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
         + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
     ) * lsub
 
-    def advance(st, t):
-        """One rolling-window step: st = (f2, r2, fw, rw) locals -> (st, h).
-
-        Pure in locals so the loop body can unroll several positions per
-        fori_loop iteration, amortizing the VMEM state load/store. The
-        window math itself is the shared _advance_hash; only the base
-        fetch differs from _rolling_kernel (dynamic shift out of the
-        packed word instead of a byte load)."""
+    def fetch(t):
+        """Base code of position t: dynamic shift out of the packed word
+        (vs _rolling_kernel's byte load)."""
         w = words_ref[0, t // 16]
         shift = (np.uint32(2) * (t % 16).astype(jnp.uint32))
-        cb = (w >> shift) & np.uint32(3)
+        return (w >> shift) & np.uint32(3)
+
+    def roll(st, t):
+        """Warm-up step: window maintenance only. The first k-1 positions
+        per cell exist solely to fill the rolling window (their hashes were
+        always discarded — the old full-body-with-masked-emit form spent
+        ~5/6 of the per-position ops computing them); skipping the t1ha2
+        chain here cuts ~20% of kernel ops at lsub=64, bit-identically."""
+        return _roll_window(st, fetch(t), ksize=ksize, method=method)
+
+    def advance(st, t):
+        """One full rolling-window step: st = (f2, r2, fw, rw) locals ->
+        (st, h). Pure in locals so the loop body can unroll several
+        positions per fori_loop iteration, amortizing the VMEM state
+        load/store. The window math itself is the shared _advance_hash."""
         return _advance_hash(
-            st, cb, ksize=ksize, seed=seed, canonical=canonical,
+            st, fetch(t), ksize=ksize, seed=seed, canonical=canonical,
             method=method,
         )
 
     def emit(h, t):
-        @pl.when(t >= k - 1)
-        def _():
-            pos = cell_base + (t - (k - 1))
-            keep = u.lt_const(h, threshold) & (pos < pos_end)
-            cnt = cnt_ref[0, 0]
-            for s in range(cap):
-                put = keep & (cnt == s)
-                slot_hi_ref[0, s] = jnp.where(put, h.hi, slot_hi_ref[0, s])
-                slot_lo_ref[0, s] = jnp.where(put, h.lo, slot_lo_ref[0, s])
-                slot_pos_ref[0, s] = jnp.where(put, pos, slot_pos_ref[0, s])
-            cnt_ref[0, 0] = cnt + keep.astype(jnp.int32)
+        # t >= k-1 always holds here: warm-up positions never reach emit
+        pos = cell_base + (t - (k - 1))
+        keep = u.lt_const(h, threshold) & (pos < pos_end)
+        cnt = cnt_ref[0, 0]
+        for s in range(cap):
+            put = keep & (cnt == s)
+            slot_hi_ref[0, s] = jnp.where(put, h.hi, slot_hi_ref[0, s])
+            slot_lo_ref[0, s] = jnp.where(put, h.lo, slot_lo_ref[0, s])
+            slot_pos_ref[0, s] = jnp.where(put, pos, slot_pos_ref[0, s])
+        cnt_ref[0, 0] = cnt + keep.astype(jnp.int32)
 
     def load_state():
         # state rows: 0-1 f2 (hi, lo), 2-3 r2 (hi, lo),
@@ -271,21 +314,44 @@ def _rolling_packed_kernel(pos_end_ref, words_ref, slot_hi_ref, slot_lo_ref,
                 state_ref[4 + q] = fw[q]
                 state_ref[4 + n_u32 + q] = rw[q]
 
+    # warm-up: the first k-1 positions only fill the window (roll, no hash).
+    # Unroll with the largest divisor <= the main-loop unroll so interpret
+    # mode (unroll=1) stays single-step and traced bodies stay small.
+    warm = k - 1
+    if warm:
+        wu = max((d for d in range(1, unroll + 1) if warm % d == 0),
+                 default=1)
+
+        def warm_body(i, _):
+            st = load_state()
+            for j in range(wu):
+                st = roll(st, i * wu + j)
+            store_state(st)
+            return None
+
+        jax.lax.fori_loop(0, warm // wu, warm_body, None)
+        if warm % wu:
+            st = load_state()
+            for t in range(warm - warm % wu, warm):
+                st = roll(st, jnp.asarray(t, jnp.int32))
+            store_state(st)
+
+    # main loop: lsub full positions, every one of which emits
     def body(i, _):
         st = load_state()
         for j in range(unroll):
-            t = i * unroll + j
+            t = warm + i * unroll + j
             st, h = advance(st, t)
             emit(h, t)
         store_state(st)
         return None
 
-    jax.lax.fori_loop(0, T // unroll, body, None)
-    # tail for T % unroll steps (t wrapped so advance/emit see traced ints)
-    if T % unroll:
+    jax.lax.fori_loop(0, lsub // unroll, body, None)
+    # tail for lsub % unroll steps (t wrapped so advance/emit see traced ints)
+    if lsub % unroll:
         st = load_state()
-        for t in range(T - T % unroll, T):
-            tt = jnp.asarray(t, jnp.int32)
+        for t in range(lsub - lsub % unroll, lsub):
+            tt = jnp.asarray(warm + t, jnp.int32)
             st, h = advance(st, tt)
             emit(h, tt)
         store_state(st)
@@ -327,14 +393,17 @@ def hash_packed_rows_pallas(
     Empty slots carry the U64_MAX sentinel / pos -1. cell_max > cap means
     slot overflow: retry with a larger cap (exactness is never traded).
 
-    unroll: positions hashed per fori_loop trip (0 = auto). Pure scheduling
-    — outputs are bit-identical for every value (pinned in
+    unroll: positions hashed per main-loop fori_loop trip (0 = auto). Pure
+    scheduling — outputs are bit-identical for every value (pinned in
     tests/test_pallas_kernel.py). Unrolling keeps the ~16 VMEM rolling-state
-    rows in registers across `unroll` positions; measured on chip at the
-    production shape (T=52, scripts/profile_kernel_unroll.py, r3):
-    1 -> 8.0 ms, 4 -> 7.29, 13 -> 6.94, 26 -> 7.06 per B=8 x 4.19 Mbp batch,
-    so auto picks the largest divisor of T up to 16 (13 at T=52) and falls
-    back to 13-with-tail when T is nearly prime. Auto resolves to 1 under
+    rows in registers across `unroll` positions; the r3 chip sweep
+    (scripts/profile_kernel_unroll.py) had deep unroll winning by ~1 ms per
+    B=8 x 4.19 Mbp batch over unroll=1. The main loop covers the lsub
+    emitting positions only — the k-1 warm-up positions run a separate
+    roll-only loop (73 vs 701 lane-ops/position, scripts/
+    audit_kernel_ops.py), cutting ~20% of kernel issue slots at lsub=64.
+    Auto picks the largest divisor of lsub up to 16 (exactly 16 in
+    production, where lsub is a multiple of 16) and resolves to 1 under
     interpret=True (no VMEM to amortize; the fatter trace just slows tests).
     """
     B, W = packed_words.shape
@@ -351,15 +420,17 @@ def hash_packed_rows_pallas(
         if interpret:
             unroll = 1  # interpret mode (tests) gains nothing, traces 2x slower
         else:
-            T = lsub + ksize - 1
+            # main loop runs lsub positions (warm-up is its own roll-only
+            # loop); lsub is always a multiple of 16 here (validated above),
+            # so auto lands on 16 with no tail
             unroll = max(
-                (d for d in range(1, 17) if T % d == 0), default=1
+                (d for d in range(1, 17) if lsub % d == 0), default=1
             )
-            # shallow best divisor (e.g. T=148 -> 4): deep unroll + tail
-            # still wins — the r3 chip sweep had u13 beating u4 by 0.35 ms
-            # per batch, and the tail costs one extra partial trip
+            # shallow best divisor: deep unroll + tail still wins — the r3
+            # chip sweep had u13 beating u4 by 0.35 ms per batch, and the
+            # tail costs one extra partial trip
             if unroll < 8:
-                unroll = min(13, T)
+                unroll = min(13, lsub)
     T_w = -(-(lsub + ksize - 1) // 16)
     iw, lw = C // 16, lsub // 16
     if W < n_chunks * iw + T_w - lw:

@@ -164,20 +164,46 @@ def main():
     print(f"\nt1ha2_atonce_words alone: {t1ha_only} ops/position")
     print(f"window+roll+select+emit:  {total - t1ha_only} ops/position")
 
+    # warm-up roll-only step (r5: the k-1 halo positions per cell now run
+    # window maintenance WITHOUT the hash — _rolling_packed_kernel warm loop)
+    from hypergen_tpu.ops.pallas.hash_kernel import _roll_window
+
+    def one_warm_step(word, shift, *state):
+        f2 = U64(state[0], state[1])
+        r2 = U64(state[2], state[3])
+        fw = [state[4 + q] for q in range(n_u32)]
+        rw = [state[4 + n_u32 + q] for q in range(n_u32)]
+        cb = (word >> shift) & np.uint32(3)
+        f2, r2, fw, rw = _roll_window(
+            (f2, r2, fw, rw), cb, ksize=KSIZE, method="t1ha2"
+        )
+        return (f2.hi, f2.lo, r2.hi, r2.lo, *fw, *rw)
+
+    roll_ops = ops_of(
+        one_warm_step, word, shift, *([zero] * (4 + 2 * n_u32))
+    )
+    print(f"warm-up roll-only step:   {roll_ops} ops/position")
+
     # --- implied issue rates from the measured hash stage ------------------
     # production shape: B=8 x 4.19 Mbp, k=21, C=2^17, nc=32, cells=2048
     B, NC, CELLS = 8, 32, 2048
     LSUB = (1 << 17) // CELLS
     halo_T = LSUB + KSIZE - 1
-    hashed = B * NC * CELLS * halo_T
+    # full-step ops on the LSUB emitting positions + roll-only warm-up
+    eff_ops = total + roll_ops * (KSIZE - 1) / LSUB
+    print(
+        f"\neffective ops per USEFUL position (warm-split kernel): "
+        f"{eff_ops:.1f} = {total} + {roll_ops}*{KSIZE - 1}/{LSUB} "
+        f"(old full-body-halo accounting: {total * halo_T / LSUB:.1f})"
+    )
+    useful = B * NC * CELLS * LSUB
     for ms in (5.9,):
-        pos_rate = hashed / (ms * 1e-3)
+        pos_rate = useful / (ms * 1e-3)
         print(
-            f"\nmeasured hash stage {ms} ms -> {pos_rate / 1e9:.2f}e9 hashed "
-            f"positions/s ({hashed / 1e6:.1f}M positions incl. "
-            f"{halo_T / LSUB:.2f}x halo)"
+            f"\nmeasured hash stage {ms} ms -> {pos_rate / 1e9:.2f}e9 useful "
+            f"positions/s ({useful / 1e6:.1f}M positions + roll-only warmup)"
         )
-        ops_rate = pos_rate * total
+        ops_rate = pos_rate * eff_ops
         mul_rate = pos_rate * buckets["mul"]
         print(f"achieved lane-ops/s: {ops_rate:.3e} (all categories)")
         print(f"achieved u32-multiplies/s: {mul_rate:.3e}")

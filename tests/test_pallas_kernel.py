@@ -146,10 +146,10 @@ def test_packed_kernel_parity():
 )
 def test_packed_kernel_unroll_bit_identical(unroll):
     """Loop unrolling is a pure scheduling change: every output array must be
-    bit-identical to unroll=1, including the fori_loop tail when
-    T % unroll != 0 (here T=36, so 5 exercises a 1-position tail cheaply,
-    13 the production auto value with a 10-position tail — slow lane — and
-    4 a full-trip count with no tail)."""
+    bit-identical to unroll=1, including the main-loop fori_loop tail when
+    lsub % unroll != 0 (here lsub=16, so 5 exercises a 1-position tail
+    cheaply, 13 a 3-position tail — slow lane — and 4 a full-trip count
+    with no tail; the k-1 warm-up loop derives its own divisor <= unroll)."""
     from hypergen_tpu.ops.pallas.hash_kernel import hash_packed_rows_pallas
 
     k, seed, thr = 21, 123, fracminhash_threshold(3)
