@@ -51,7 +51,10 @@ _SENT = np.uint32(0xFFFFFFFF)
 # 2048 (hash stage 5.91-5.98 ms vs 7.05-7.16 at 4096, 6.33 at 1024): two
 # VREGs of ILP suffice once issue slots are the constraint, and lsub=64
 # halves the halo share (38% -> 24% of hash evals). Preference order lives
-# in models/sketcher.packed_cells().
+# in models/sketcher.packed_cells(). Re-checked after the r5 warm-split
+# (halo positions now cost 73 ops, so 4096's duplication penalty fell to
+# ~3%): 2048 still wins the A/B/B/A — kernel 4.59/4.61 ms vs 4.99/5.69 at
+# 4096 — so the residual gap is loop/latency structure, not halo ops.
 
 
 def _roll_window(st, cb, *, ksize, method):
